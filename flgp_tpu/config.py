@@ -1,0 +1,137 @@
+"""Typed configuration for FLGP-TPU.
+
+The reference threads a stringly-typed R list ``models = {subsample, kernel,
+gl, root}`` plus per-call scalars through every entry point and dispatches on
+string compares (reference: R/Fit.R:56-61, src/Spectrum.cpp:60-67,
+src/Utils.cpp:36-65).  Here the same surface is a frozen dataclass with enums,
+a single source of defaults, and explicit dtype policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+
+class Subsample(str, enum.Enum):
+    """Anchor-point selection method (reference: src/Utils.cpp:32-68)."""
+
+    KMEANS = "kmeans"
+    RANDOM = "random"
+    MINIBATCH_KMEANS = "minibatchkmeans"
+
+
+class KernelType(str, enum.Enum):
+    """Cross-similarity flavor (reference: src/Spectrum.cpp:60-67)."""
+
+    LAE = "lae"
+    SE = "se"
+
+
+class LaplacianType(str, enum.Enum):
+    """Graph-Laplacian normalization (reference: src/Utils.cpp:195-212)."""
+
+    RW = "rw"
+    NORMALIZED = "normalized"
+    CLUSTER_NORMALIZED = "cluster-normalized"
+
+
+class Approach(str, enum.Enum):
+    """Empirical-Bayes objective (reference: src/train.cpp:50-57)."""
+
+    MARGINAL = "marginal"
+    POSTERIOR = "posterior"
+
+
+class NoiseModel(str, enum.Enum):
+    """Homoscedastic vs per-point observation noise (src/train.cpp:567-617)."""
+
+    SAME = "same"
+    DIFFERENT = "different"
+
+
+# Numerical jitter used throughout the reference on divisions / log-chol
+# diagonals (e.g. src/Utils.cpp:201-211, src/train.cpp:392).
+EPS = 1e-9
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Configuration of the spectral (graph) stage.
+
+    Mirrors the reference's ``models`` list plus the per-call scalars
+    (s, r, K, nstart) threaded alongside it (R/Fit.R:56-70).
+    """
+
+    s: int = 600                      # number of anchor/induced points
+    r: int = 3                        # kNN fan-in per point
+    K: int = -1                       # spectral truncation; -1 -> K = s
+    subsample: Subsample = Subsample.KMEANS
+    kernel: KernelType = KernelType.LAE
+    gl: LaplacianType = LaplacianType.CLUSTER_NORMALIZED
+    root: bool = True                 # sqrt the eigenvalues of W (Spectrum.cpp:153-155)
+    nstart: int = 1                   # k-means restarts
+    kmeans_iters: int = 100           # Lloyd iterations (src/Utils.cpp:41)
+    epsilon: float = 0.1              # SE bandwidth for covariance-only entry point
+
+    def resolved_K(self) -> int:
+        return self.s if self.K < 0 else self.K
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameter-learning configuration.
+
+    The reference optimizes with NLopt (COBYLA for GPC t, MMA for GPR
+    (t, noise); src/train.cpp:45-67, 619-656).  We optimize the identical
+    objectives with autodiff gradients: a log-space grid scan followed by
+    Adam polish, fully jit/vmap-able.
+    """
+
+    approach: Approach = Approach.POSTERIOR
+    noise: NoiseModel = NoiseModel.SAME
+    t0: float = 10.0
+    t_lb: float = 1e-3                 # src/train.cpp lb for t
+    noise0: float = 1.0
+    noise_lb: float = 1e-4             # src/train.cpp lb for noise
+    # t-prior  p*log t + (t/tau)^(-q)   (src/train.h:136-156)
+    prior_p_gpc: float = 1e-2
+    prior_p_gpr: float = 1.0
+    prior_q: float = 10.0
+    prior_tau: float = 2.0
+    # inverse-gamma noise prior (src/train.h:151-155)
+    prior_alpha: float = 1e-1
+    prior_beta: float = 1e-3
+    # optimizer schedule
+    grid_size: int = 32                # log-spaced coarse scan points
+    adam_steps: int = 200
+    adam_lr: float = 0.05
+    # Laplace Newton iteration (src/train.cpp:716-760)
+    newton_tol: float = 1e-5
+    newton_max_iter: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Top-level fit configuration shared by all drivers."""
+
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    sigma: float = 1e-3                # ridge on H; 1e-3 clf / 1e-5 reg defaults
+    a2s: Optional[Sequence[float]] = None   # SE bandwidth grid; None -> default
+    # GLGP options (src/Fit.cpp:361-512)
+    gl_sparse: bool = False
+    gl_threshold: float = 0.01
+    # prediction
+    n_gibbs: int = 100                 # PG Gibbs sweeps (src/PGLogitModel.cpp:48-53)
+    output_cov: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+
+def default_a2s() -> jnp.ndarray:
+    """Default SE bandwidth-squared grid: exp(linspace(log .1, log 10, 10))
+    (reference: R/Fit.R:128-130)."""
+    return jnp.exp(jnp.linspace(jnp.log(0.1), jnp.log(10.0), 10))

@@ -1,0 +1,204 @@
+"""Empirical-Bayes hyperparameter optimization, jit/vmap-native.
+
+The reference drives NLopt from C++ — derivative-free COBYLA for the 1-D GPC
+diffusion time (src/train.cpp:38-71) and gradient-based MMA with hand-derived
+gradients for GPR (t, noise) (src/train.cpp:557-671).  Sequential host-side
+optimizers serialize TPU work, so instead:
+
+- 1-D objectives: a log-spaced grid evaluated in one vmap (perfectly parallel
+  on device) followed by golden-section refinement of the bracketing cell.
+- Multi-D objectives: coarse vmapped grid seeding + Adam in log-transformed
+  (bound-respecting) coordinates on autodiff gradients, tracking the best
+  iterate.
+
+Both are pure functions of arrays, so an outer vmap over an SE bandwidth grid
+runs *every* grid point's full optimization concurrently (replacing the serial
+loop at src/Fit.cpp:147-178).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_GR = 0.6180339887498949  # golden ratio conjugate
+
+
+class Scalar1DResult(NamedTuple):
+    x: jnp.ndarray
+    obj: jnp.ndarray  # objective value at x (minimized)
+
+
+def minimize_1d_log(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    lo: float = 1e-2,
+    hi: float = 1e3,
+    n_grid: int = 32,
+    polish_iters: int = 40,
+    dtype=jnp.float32,
+) -> Scalar1DResult:
+    """Minimize fn over [lo, hi] with a log-spaced grid + golden section."""
+    ts = jnp.logspace(jnp.log10(jnp.asarray(lo, dtype)), jnp.log10(jnp.asarray(hi, dtype)), n_grid)
+    vals = jax.vmap(fn)(ts)
+    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+    i = jnp.argmin(vals)
+    log_ts = jnp.log(ts)
+    a = log_ts[jnp.maximum(i - 1, 0)]
+    b = log_ts[jnp.minimum(i + 1, n_grid - 1)]
+
+    g = lambda u: fn(jnp.exp(u))
+
+    c0 = b - _GR * (b - a)
+    d0 = a + _GR * (b - a)
+
+    def body(_, st):
+        a, b, c, d, fc, fd = st
+        shrink_right = fc < fd  # keep [a, d]
+        a2 = jnp.where(shrink_right, a, c)
+        b2 = jnp.where(shrink_right, d, b)
+        c2 = b2 - _GR * (b2 - a2)
+        d2 = a2 + _GR * (b2 - a2)
+        fc2 = g(c2)
+        fd2 = g(d2)
+        return a2, b2, c2, d2, fc2, fd2
+
+    st = (a, b, c0, d0, g(c0), g(d0))
+    a, b, c, d, fc, fd = jax.lax.fori_loop(0, polish_iters, body, st)
+    u = jnp.where(fc < fd, c, d)
+    fu = jnp.minimum(fc, fd)
+    # never return worse than the best grid point
+    better = fu < vals[i]
+    x = jnp.where(better, jnp.exp(u), ts[i])
+    obj = jnp.where(better, fu, vals[i])
+    return Scalar1DResult(x, obj)
+
+
+class AdamResult(NamedTuple):
+    x: jnp.ndarray
+    obj: jnp.ndarray
+
+
+def adam_minimize(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    steps: int = 200,
+    lr: float = 0.05,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> AdamResult:
+    """Adam on a flat parameter vector, returning the best iterate seen."""
+    vg = jax.value_and_grad(fn)
+
+    def step(carry, i):
+        x, m, v, best_x, best_f = carry
+        f, g = vg(x)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mhat = m / (1 - b1 ** (i + 1.0))
+        vhat = v / (1 - b2 ** (i + 1.0))
+        x_new = x - lr * mhat / (jnp.sqrt(vhat) + eps)
+        improved = jnp.logical_and(jnp.isfinite(f), f < best_f)
+        best_x = jnp.where(improved, x, best_x)
+        best_f = jnp.where(improved, f, best_f)
+        return (x_new, m, v, best_x, best_f), None
+
+    init = (
+        x0,
+        jnp.zeros_like(x0),
+        jnp.zeros_like(x0),
+        x0,
+        jnp.asarray(jnp.inf, x0.dtype),
+    )
+    (x, _, _, best_x, best_f), _ = jax.lax.scan(
+        step, init, jnp.arange(steps, dtype=x0.dtype)
+    )
+    f_final = fn(x)
+    take_final = jnp.logical_and(jnp.isfinite(f_final), f_final < best_f)
+    return AdamResult(
+        jnp.where(take_final, x, best_x), jnp.where(take_final, f_final, best_f)
+    )
+
+
+class GprOptResult(NamedTuple):
+    t: jnp.ndarray
+    noise: jnp.ndarray
+    obj: jnp.ndarray  # minimized objective value
+
+
+def minimize_t_noise(
+    fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    t_lb: float = 1e-3,
+    noise_lb: float = 1e-4,
+    t_range: Tuple[float, float] = (1e-2, 1e3),
+    noise_range: Tuple[float, float] = (1e-3, 1e1),
+    n_grid: int = 8,
+    adam_steps: int = 200,
+    adam_lr: float = 0.05,
+    dtype=jnp.float32,
+) -> GprOptResult:
+    """Minimize fn(t, noise) with bounds t ≥ t_lb, noise ≥ noise_lb.
+
+    Coarse log-grid seeding (vmapped) then Adam in (log t, log noise)."""
+    ts = jnp.logspace(jnp.log10(jnp.asarray(t_range[0], dtype)), jnp.log10(jnp.asarray(t_range[1], dtype)), n_grid)
+    ns = jnp.logspace(jnp.log10(jnp.asarray(noise_range[0], dtype)), jnp.log10(jnp.asarray(noise_range[1], dtype)), n_grid)
+    T, Nz = jnp.meshgrid(ts, ns, indexing="ij")
+    flatT, flatN = T.reshape(-1), Nz.reshape(-1)
+    vals = jax.vmap(fn)(flatT, flatN)
+    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+    i = jnp.argmin(vals)
+
+    def obj_flat(x):
+        t = t_lb + jnp.exp(x[0])
+        noise = noise_lb + jnp.exp(x[1])
+        return fn(t, noise)
+
+    x0 = jnp.stack(
+        [
+            jnp.log(jnp.maximum(flatT[i] - t_lb, 1e-6)),
+            jnp.log(jnp.maximum(flatN[i] - noise_lb, 1e-6)),
+        ]
+    ).astype(dtype)
+    res = adam_minimize(obj_flat, x0, steps=adam_steps, lr=adam_lr)
+    t = t_lb + jnp.exp(res.x[0])
+    noise = noise_lb + jnp.exp(res.x[1])
+    better = res.obj < vals[i]
+    return GprOptResult(
+        jnp.where(better, t, flatT[i]),
+        jnp.where(better, noise, flatN[i]),
+        jnp.minimum(res.obj, vals[i]),
+    )
+
+
+def minimize_t_noisevec(
+    fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    m: int,
+    t_lb: float = 1e-3,
+    noise_lb: float = 1e-4,
+    t0: float = 10.0,
+    noise0: float = 1.0,
+    adam_steps: int = 400,
+    adam_lr: float = 0.05,
+    dtype=jnp.float32,
+) -> GprOptResult:
+    """Per-point-noise variant: minimize fn(t, noise_vec) over m+1 parameters
+    (reference MMA path at src/train.cpp:588-624)."""
+
+    def obj_flat(x):
+        t = t_lb + jnp.exp(x[0])
+        noise = noise_lb + jnp.exp(x[1:])
+        return fn(t, noise)
+
+    x0 = jnp.concatenate(
+        [
+            jnp.full((1,), jnp.log(t0 - t_lb), dtype),
+            jnp.full((m,), jnp.log(noise0 - noise_lb), dtype),
+        ]
+    )
+    res = adam_minimize(obj_flat, x0, steps=adam_steps, lr=adam_lr)
+    t = t_lb + jnp.exp(res.x[0])
+    noise = noise_lb + jnp.exp(res.x[1:])
+    return GprOptResult(t, noise, res.obj)

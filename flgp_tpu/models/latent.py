@@ -1,0 +1,124 @@
+"""Whitened low-rank latent parameterization of heat-kernel GPs.
+
+The reference's inference works in the m-dimensional latent f with dense
+(m, m) covariance solves per step (src/PGLogitModel.cpp:25-39).  The
+TPU-native formulation exploits the spectral structure directly:
+
+    f = V_idx · diag(exp(−t·(1−λ)/2)) · u,   u ~ N(0, I_K)
+
+so the latent is the K-dimensional whitened vector u, the prior is isotropic,
+and a posterior-density evaluation is one (m, K) matvec — no Cholesky at all.
+This is what makes HMC/NUTS/SVI/SMC cheap and fully batchable across chains.
+Hyperparameters enter differentiably through t (and noise), enabling joint
+sampling, which the reference cannot do.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EPS
+from ..types import EigenPair
+
+
+class WhitenedGP(NamedTuple):
+    """Static data of a whitened heat-kernel GP at a set of points."""
+
+    V: jnp.ndarray        # (m, K) spectral features at the observed points
+    lam: jnp.ndarray      # (K,) Laplacian eigenvalues 1 - λ(W)
+    sigma: float          # ridge on the covariance diagonal
+
+
+def make_whitened(eigenpair: EigenPair, idx: jnp.ndarray, K: int, sigma: float) -> WhitenedGP:
+    return WhitenedGP(
+        eigenpair.vectors[idx, :K], eigenpair.laplacian_eigenvalues(K), sigma
+    )
+
+
+def latent_f(gp: WhitenedGP, u: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """f = V·diag(exp(−t·lam/2))·u (marginal variance matches the heat kernel
+    up to the σ ridge, src/Spectrum.cpp:83-94)."""
+    scale = jnp.exp(-0.5 * t * gp.lam)
+    return gp.V @ (scale * u)
+
+
+def log_prior_u(u: jnp.ndarray) -> jnp.ndarray:
+    return -0.5 * jnp.sum(u * u)
+
+
+def t_log_prior_density(t: jnp.ndarray, p: float, q: float, tau: float) -> jnp.ndarray:
+    """log p(t) ∝ −p·log t − (t/τ)^(−q): the reference's penalty with sign
+    flipped to a density (src/train.cpp:22)."""
+    return -(p * jnp.log(t + EPS) + (t / tau) ** (-q))
+
+
+def bernoulli_logit_loglik(f: jnp.ndarray, Y: jnp.ndarray, N: jnp.ndarray) -> jnp.ndarray:
+    """Binomial-logit log likelihood (counts Y of N trials)."""
+    return jnp.sum(Y * jax.nn.log_sigmoid(f) + (N - Y) * jax.nn.log_sigmoid(-f))
+
+
+def gaussian_loglik(f: jnp.ndarray, Y: jnp.ndarray, noise_var: jnp.ndarray) -> jnp.ndarray:
+    return -0.5 * jnp.sum((Y - f) ** 2 / noise_var + jnp.log(2.0 * jnp.pi * noise_var))
+
+
+class GpcLogPost(NamedTuple):
+    """Joint log posterior of (u, log t) for the heat-kernel GPC.
+
+    Flattened parameter layout: x = [u (K,), log_t (1,)].
+    """
+
+    gp: WhitenedGP
+    Y: jnp.ndarray
+    N: jnp.ndarray
+    p: float
+    q: float
+    tau: float
+
+    @property
+    def dim(self) -> int:
+        return self.gp.V.shape[1] + 1
+
+    def unpack(self, x):
+        return x[:-1], jnp.exp(x[-1])
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        u, t = self.unpack(x)
+        f = latent_f(self.gp, u, t)
+        lp = log_prior_u(u) + bernoulli_logit_loglik(f, self.Y, self.N)
+        # prior on t plus the log|dt/dlog t| = log t Jacobian
+        lp = lp + t_log_prior_density(t, self.p, self.q, self.tau) + jnp.log(t)
+        return lp
+
+
+class GprLogPost(NamedTuple):
+    """Joint log posterior of (u, log t, log noise) for heat-kernel GPR.
+
+    Flattened layout: x = [u (K,), log_t, log_noise]."""
+
+    gp: WhitenedGP
+    Y: jnp.ndarray
+    p: float
+    q: float
+    tau: float
+    alpha: float
+    beta: float
+
+    @property
+    def dim(self) -> int:
+        return self.gp.V.shape[1] + 2
+
+    def unpack(self, x):
+        return x[:-2], jnp.exp(x[-2]), jnp.exp(x[-1])
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        u, t, noise = self.unpack(x)
+        f = latent_f(self.gp, u, t)
+        lp = log_prior_u(u) + gaussian_loglik(f, self.Y, noise + self.gp.sigma)
+        lp = lp + t_log_prior_density(t, self.p, self.q, self.tau) + jnp.log(t)
+        # inverse-gamma-style prior on noise+σ (src/train.cpp:342) + Jacobian
+        z = noise + self.gp.sigma
+        lp = lp - ((self.alpha + 1.0) * jnp.log(z) + self.beta / z) + jnp.log(noise)
+        return lp

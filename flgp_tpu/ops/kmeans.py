@@ -1,0 +1,171 @@
+"""Anchor-point subsampling: k-means, random, and mini-batch k-means.
+
+The reference calls back into R for this (stats::kmeans with iter.max=100 and
+ClusterR::MiniBatchKmeans; src/Utils.cpp:32-68).  Here each variant is a
+jit-compiled JAX routine: distance matmuls on the MXU, centroid updates via
+segment-sums, restarts batched with vmap.
+
+Returned clusters double as the "cluster sizes" column the cluster-normalized
+graph Laplacian consumes (src/Utils.cpp:44-45, 59-62).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Subsample
+from .distance import sqdist_blocked
+from .knn import knn
+
+
+class SubsampleResult(NamedTuple):
+    centers: jnp.ndarray   # (s, d)
+    counts: jnp.ndarray    # (s,) — points assigned to each center
+
+
+def _assign(X: jnp.ndarray, centers: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    d = sqdist_blocked(X, centers)
+    assign = jnp.argmin(d, axis=1)
+    mind = jnp.min(d, axis=1)
+    return assign, mind
+
+
+def _update(X: jnp.ndarray, assign: jnp.ndarray, s: int, old: jnp.ndarray):
+    n, d = X.shape
+    counts = jnp.zeros((s,), dtype=X.dtype).at[assign].add(1.0)
+    sums = jnp.zeros((s, d), dtype=X.dtype).at[assign].add(X)
+    centers = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], old)
+    return centers, counts
+
+
+def lloyd(
+    X: jnp.ndarray, init: jnp.ndarray, iters: int = 100
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Lloyd iterations with early exit once assignments stabilize.
+
+    Returns (centers, counts, total within-cluster SS).
+    """
+    s = init.shape[0]
+    assign0 = jnp.full((X.shape[0],), -1, dtype=jnp.int32)
+
+    def cond(state):
+        i, _, _, changed = state
+        return jnp.logical_and(i < iters, changed)
+
+    def body(state):
+        i, centers, assign, _ = state
+        new_assign, _ = _assign(X, centers)
+        new_assign = new_assign.astype(jnp.int32)
+        centers, _ = _update(X, new_assign, s, centers)
+        changed = jnp.any(new_assign != assign)
+        return i + 1, centers, new_assign, changed
+
+    _, centers, assign, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init, assign0, jnp.bool_(True))
+    )
+    assign, mind = _assign(X, centers)
+    counts = jnp.zeros((s,), dtype=X.dtype).at[assign].add(1.0)
+    wss = jnp.sum(mind)
+    return centers, counts, wss
+
+
+def _random_rows(key: jax.Array, X: jnp.ndarray, s: int) -> jnp.ndarray:
+    idx = jax.random.choice(key, X.shape[0], shape=(s,), replace=False)
+    return X[idx]
+
+
+def kmeans(
+    key: jax.Array, X: jnp.ndarray, s: int, nstart: int = 1, iters: int = 100
+) -> SubsampleResult:
+    """k-means with ``nstart`` random restarts, best by within-cluster SS
+    (mirrors stats::kmeans semantics, src/Utils.cpp:37-42)."""
+    keys = jax.random.split(key, nstart)
+
+    def one(k):
+        init = _random_rows(k, X, s)
+        return lloyd(X, init, iters)
+
+    centers, counts, wss = jax.vmap(one)(keys)
+    best = jnp.argmin(wss)
+    return SubsampleResult(centers[best], counts[best])
+
+
+def minibatch_kmeans(
+    key: jax.Array,
+    X: jnp.ndarray,
+    s: int,
+    batch_size: int | None = None,
+    iters: int = 100,
+    nstart: int = 1,
+) -> SubsampleResult:
+    """Sculley-style mini-batch k-means (replaces ClusterR::MiniBatchKmeans,
+    src/Utils.cpp:50-56; reference uses batch_size = 10 s).
+
+    Final counts come from a full 1-NN assignment pass, exactly as the
+    reference computes them for this method (src/Utils.cpp:59-62).
+    """
+    n = X.shape[0]
+    if batch_size is None:
+        batch_size = min(10 * s, n)
+    batch_size = min(batch_size, n)
+
+    def one_start(k):
+        kinit, kiter = jax.random.split(k)
+        centers0 = _random_rows(kinit, X, s)
+        ncounts0 = jnp.zeros((s,), dtype=X.dtype)
+
+        def step(carry, kb):
+            centers, ncounts = carry
+            bidx = jax.random.choice(kb, n, shape=(batch_size,), replace=False)
+            Xb = X[bidx]
+            assign, _ = _assign(Xb, centers)
+            bc = jnp.zeros((s,), dtype=X.dtype).at[assign].add(1.0)
+            bsum = jnp.zeros_like(centers).at[assign].add(Xb)
+            ncounts = ncounts + bc
+            lr = jnp.where(ncounts > 0, bc / jnp.maximum(ncounts, 1.0), 0.0)
+            bmean = bsum / jnp.maximum(bc, 1.0)[:, None]
+            centers = centers + lr[:, None] * (bmean - centers)
+            return (centers, ncounts), None
+
+        (centers, _), _ = jax.lax.scan(step, (centers0, ncounts0), jax.random.split(kiter, iters))
+        _, mind = _assign(X, centers)
+        return centers, jnp.sum(mind)
+
+    centers, wss = jax.vmap(one_start)(jax.random.split(key, nstart))
+    best = jnp.argmin(wss)
+    centers = centers[best]
+    labels = knn(X, centers, 1).indices[:, 0]
+    counts = jnp.zeros((s,), dtype=X.dtype).at[labels].add(1.0)
+    return SubsampleResult(centers, counts)
+
+
+def random_subsample(key: jax.Array, X: jnp.ndarray, s: int) -> SubsampleResult:
+    """Uniform row subsample (src/Utils.cpp:46-48).  Counts come from a 1-NN
+    pass so that cluster-normalized Laplacians remain usable (the reference
+    would fault on this combination)."""
+    centers = _random_rows(key, X, s)
+    labels = knn(X, centers, 1).indices[:, 0]
+    counts = jnp.zeros((s,), dtype=X.dtype).at[labels].add(1.0)
+    return SubsampleResult(centers, counts)
+
+
+def subsample(
+    key: jax.Array,
+    X: jnp.ndarray,
+    s: int,
+    method: Subsample = Subsample.KMEANS,
+    nstart: int = 1,
+    iters: int = 100,
+) -> SubsampleResult:
+    """Dispatch on the subsample method (src/Utils.cpp:32-68)."""
+    method = Subsample(method)
+    if method == Subsample.KMEANS:
+        return kmeans(key, X, s, nstart=nstart, iters=iters)
+    if method == Subsample.RANDOM:
+        return random_subsample(key, X, s)
+    if method == Subsample.MINIBATCH_KMEANS:
+        return minibatch_kmeans(key, X, s, nstart=nstart, iters=iters)
+    raise ValueError(f"unsupported subsample method: {method}")

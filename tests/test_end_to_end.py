@@ -1,0 +1,146 @@
+"""End-to-end fit-driver tests on scaled-down README datasets.
+
+Small configurations of the reference's golden examples
+(/root/reference/README.md:82-170): the full-size parity runs live in
+bench.py; here the same pipelines must learn the structure at reduced n
+within generous error budgets.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flgp_tpu
+from flgp_tpu import FitConfig, GraphConfig, TrainConfig
+from flgp_tpu.config import KernelType
+from flgp_tpu.datasets import gaussian_blobs, spiral, torus_rings
+
+
+CFG_GRAPH = GraphConfig(s=120, r=3, K=40)
+# lighter optimizer schedules: the E2E suite is compile-bound on small hosts
+CFG_TRAIN = TrainConfig(grid_size=16, adam_steps=80)
+KEY = jax.random.PRNGKey(7)
+
+
+@pytest.fixture(scope="module")
+def torus():
+    # full README config: the rings only separate in the anchor graph when
+    # both n and s are at reference scale (anchor spacing along a ring must
+    # be well under the inter-ring gap; see CLAUDE.md) — smaller configs are
+    # chance-level by geometry, not by bug
+    return torus_rings(n=4800, m_train=100, seed=1234)
+
+
+TORUS_GRAPH = GraphConfig(s=600, r=3, K=100)
+
+
+@pytest.fixture(scope="module")
+def spiral_data():
+    return spiral(n=800, m_train=150, seed=1234)
+
+
+def _err(y_pred, y_true):
+    return float(np.mean(np.asarray(y_pred) != np.asarray(y_true)))
+
+
+def _rmse(y_pred, y_true):
+    return float(np.sqrt(np.mean((np.asarray(y_pred) - np.asarray(y_true)) ** 2)))
+
+
+class TestRegression:
+    def test_lae_spiral(self, spiral_data):
+        cfg = FitConfig(graph=CFG_GRAPH, train=CFG_TRAIN, sigma=1e-5, dtype=jnp.float64)
+        res = flgp_tpu.fit_lae_regression_gp(
+            KEY, spiral_data.x_train, spiral_data.y_train, spiral_data.x_test, cfg
+        )
+        rmse = _rmse(res.y_test, spiral_data.y_test)
+        assert rmse < 1.5, rmse
+        assert np.all(res.posterior_cov > 0)
+
+    def test_se_spiral(self, spiral_data):
+        cfg = FitConfig(graph=CFG_GRAPH, train=CFG_TRAIN, sigma=1e-5, dtype=jnp.float64)
+        res = flgp_tpu.fit_se_regression_gp(
+            KEY, spiral_data.x_train, spiral_data.y_train, spiral_data.x_test, cfg
+        )
+        assert _rmse(res.y_test, spiral_data.y_test) < 1.5
+        assert "a2" in res.pars
+
+    def test_nystrom_spiral(self, spiral_data):
+        cfg = FitConfig(graph=CFG_GRAPH, train=CFG_TRAIN, sigma=1e-5, dtype=jnp.float64)
+        res = flgp_tpu.fit_nystrom_regression_gp(
+            KEY, spiral_data.x_train, spiral_data.y_train, spiral_data.x_test, cfg
+        )
+        assert _rmse(res.y_test, spiral_data.y_test) < 2.5
+
+    def test_gl_spiral_small(self):
+        data = spiral(n=300, m_train=100, seed=1234)
+        cfg = FitConfig(graph=GraphConfig(K=40), train=CFG_TRAIN, sigma=1e-5, dtype=jnp.float64)
+        res = flgp_tpu.fit_gl_regression_gp(KEY, data.x_train, data.y_train, data.x_test, cfg)
+        assert _rmse(res.y_test, data.y_test) < 2.5
+
+
+class TestBinaryClassification:
+    def test_lae_torus(self, torus):
+        """README golden: reference LKFLGP error is 0.0270 (BASELINE.md)."""
+        cfg = FitConfig(graph=TORUS_GRAPH, train=CFG_TRAIN, sigma=1e-3, dtype=jnp.float64)
+        res = flgp_tpu.fit_lae_logit_gp(KEY, torus.x_train, torus.y_train, torus.x_test, cfg=cfg)
+        assert _err(res.y_test, torus.y_test) < 0.08
+
+    def test_se_torus(self, torus):
+        """README golden: reference SKFLGP error is 0.0 (BASELINE.md)."""
+        cfg = FitConfig(graph=TORUS_GRAPH, train=CFG_TRAIN, sigma=1e-3, dtype=jnp.float64)
+        res = flgp_tpu.fit_se_logit_gp(KEY, torus.x_train, torus.y_train, torus.x_test, cfg=cfg)
+        assert _err(res.y_test, torus.y_test) < 0.08
+
+    def test_nystrom_blobs(self):
+        data = gaussian_blobs(n_per_class=40, n_classes=2, sep=6.0)
+        cfg = FitConfig(graph=GraphConfig(s=30, r=3, K=15), train=CFG_TRAIN, dtype=jnp.float64)
+        res = flgp_tpu.fit_nystrom_logit_gp(KEY, data.x_train, data.y_train, data.x_test, cfg=cfg)
+        assert _err(res.y_test, data.y_test) < 0.15
+
+    def test_gl_blobs(self):
+        data = gaussian_blobs(n_per_class=40, n_classes=2, sep=6.0)
+        cfg = FitConfig(graph=GraphConfig(K=20), train=CFG_TRAIN, dtype=jnp.float64)
+        res = flgp_tpu.fit_gl_logit_gp(KEY, data.x_train, data.y_train, data.x_test, cfg=cfg)
+        assert _err(res.y_test, data.y_test) < 0.15
+
+
+class TestMulticlass:
+    def test_lae_blobs(self):
+        data = gaussian_blobs(n_per_class=40, n_classes=3, sep=6.0)
+        cfg = FitConfig(graph=GraphConfig(s=30, r=3, K=15), train=CFG_TRAIN, dtype=jnp.float64)
+        res = flgp_tpu.fit_lae_logit_mult_gp(KEY, data.x_train, data.y_train, data.x_test, cfg)
+        assert _err(res.y_test, data.y_test) < 0.15
+        assert res.posterior_mean.shape[1] == 3
+
+    def test_se_blobs(self):
+        data = gaussian_blobs(n_per_class=40, n_classes=3, sep=6.0)
+        cfg = FitConfig(graph=GraphConfig(s=30, r=3, K=15), train=CFG_TRAIN, dtype=jnp.float64)
+        res = flgp_tpu.fit_se_logit_mult_gp(KEY, data.x_train, data.y_train, data.x_test, cfg)
+        assert _err(res.y_test, data.y_test) < 0.15
+
+
+class TestExtras:
+    def test_heat_kernel_covariance_psd(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(40, 2))
+        X_new = rng.normal(size=(20, 2))
+        H = flgp_tpu.heat_kernel_covariance(
+            KEY, jnp.asarray(X), jnp.asarray(X_new), 1.0,
+            GraphConfig(s=20, r=3, K=10)
+        )
+        assert H.shape == (60, 40)
+        # H[:40,:40] is a heat-kernel gram block: symmetric PSD
+        Hs = np.asarray(H)[:40]
+        np.testing.assert_allclose(Hs, Hs.T, atol=1e-8)
+        assert np.linalg.eigvalsh(Hs).min() > -1e-8
+
+    def test_lae_eigenmap_shapes(self):
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.normal(size=(100, 3)))
+        vals, vecs = flgp_tpu.lae_eigenmap(KEY, X, s=20, r=3, ndim=5)
+        assert vals.shape == (5,)
+        assert vecs.shape == (100, 5)
+        # Laplacian eigenvalues nonnegative-ish, first ~0
+        assert float(vals[0]) < 1e-6

@@ -1,0 +1,130 @@
+"""Inference-stack tests: HMC/NUTS posterior recovery on analytic targets,
+SVI ELBO convergence, SMC evidence, diagnostics sanity (SURVEY §4(d))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flgp_tpu.inference.diagnostics import ess, split_rhat
+from flgp_tpu.inference.hmc import run_hmc
+from flgp_tpu.inference.nuts import run_nuts
+from flgp_tpu.inference.smc import run_smc
+from flgp_tpu.inference.svi import fit_svi
+
+
+DIM = 3
+MEAN = np.array([1.0, -2.0, 0.5])
+SCALES = np.array([1.0, 0.5, 2.0])
+
+
+def gauss_logprob(x):
+    return -0.5 * jnp.sum(((x - MEAN) / SCALES) ** 2)
+
+
+class TestHmc:
+    def test_gaussian_moments(self):
+        x0 = jnp.zeros((4, DIM))
+        run = run_hmc(
+            jax.random.PRNGKey(0), gauss_logprob, x0,
+            n_warmup=300, n_samples=600, n_leapfrog=8,
+        )
+        draws = np.asarray(run.samples).reshape(-1, DIM)
+        np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.2)
+        np.testing.assert_allclose(draws.std(0), SCALES, rtol=0.25)
+        assert float(np.mean(np.asarray(run.accept_prob))) > 0.5
+
+    def test_rhat_near_one(self):
+        run = run_hmc(
+            jax.random.PRNGKey(1), gauss_logprob, jnp.zeros((4, DIM)),
+            n_warmup=300, n_samples=600, n_leapfrog=8,
+        )
+        rhat = np.asarray(split_rhat(run.samples))
+        assert np.all(rhat < 1.1), rhat
+
+
+class TestNuts:
+    def test_gaussian_moments(self):
+        run = run_nuts(
+            jax.random.PRNGKey(0), gauss_logprob, jnp.zeros((4, DIM)),
+            n_warmup=200, n_samples=400, max_depth=6,
+        )
+        draws = np.asarray(run.samples).reshape(-1, DIM)
+        np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.25)
+        np.testing.assert_allclose(draws.std(0), SCALES, rtol=0.3)
+
+    def test_correlated_gaussian(self):
+        rho = 0.9
+        cov = np.array([[1.0, rho], [rho, 1.0]])
+        prec = jnp.asarray(np.linalg.inv(cov))
+
+        def logprob(x):
+            return -0.5 * x @ prec @ x
+
+        run = run_nuts(
+            jax.random.PRNGKey(2), logprob, jnp.zeros((4, 2)),
+            n_warmup=300, n_samples=500, max_depth=8,
+        )
+        draws = np.asarray(run.samples).reshape(-1, 2)
+        got = np.corrcoef(draws.T)[0, 1]
+        np.testing.assert_allclose(got, rho, atol=0.1)
+
+
+class TestSvi:
+    def test_gaussian_recovery(self):
+        res = fit_svi(
+            jax.random.PRNGKey(0), gauss_logprob, DIM,
+            steps=1500, n_mc=8, lr=0.05, dtype=jnp.float64,
+        )
+        # per-dim MC error scales with the target scale (dim 3 has σ = 2)
+        np.testing.assert_allclose(np.asarray(res.posterior.mu), MEAN, atol=0.35)
+        np.testing.assert_allclose(
+            np.exp(np.asarray(res.posterior.log_scale)), SCALES, rtol=0.3
+        )
+        # ELBO should improve
+        elbo = np.asarray(res.elbo_trace)
+        assert elbo[-50:].mean() > elbo[:50].mean()
+
+
+class TestSmc:
+    def test_gaussian_evidence(self):
+        """Prior N(0, 1)ᵈ, likelihood N(x; μ, σ²)ᵈ: log Z analytic."""
+        mu = np.array([0.5, -0.5])
+        s2 = 0.5**2
+
+        def log_prior(x):
+            return -0.5 * jnp.sum(x * x) - 0.5 * 2 * jnp.log(2 * jnp.pi)
+
+        def log_like(x):
+            return -0.5 * jnp.sum((x - mu) ** 2) / s2 - 0.5 * 2 * jnp.log(2 * jnp.pi * s2)
+
+        # analytic evidence of ∫ N(x;0,I) N(x;mu,s2 I) dx per-dim
+        var = 1.0 + s2
+        logZ = np.sum(-0.5 * np.log(2 * np.pi * var) - 0.5 * mu**2 / var)
+
+        n_part = 512
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (n_part, 2))
+        res = run_smc(
+            jax.random.PRNGKey(1), log_prior, log_like, x0,
+            n_mutation_steps=5, n_leapfrog=8,
+        )
+        np.testing.assert_allclose(float(res.log_evidence), logZ, atol=0.15)
+        # posterior mean: (mu/s2)/(1+1/s2)
+        post_mean = mu / s2 / (1 + 1 / s2)
+        np.testing.assert_allclose(
+            np.asarray(res.particles).mean(0), post_mean, atol=0.15
+        )
+
+
+class TestDiagnostics:
+    def test_ess_iid(self):
+        draws = np.random.default_rng(0).normal(size=(500, 4, 2))
+        e = ess(draws)
+        assert np.all(e > 1000), e  # iid: ESS ≈ n·chains = 2000
+
+    def test_rhat_diverged_chains(self):
+        rng = np.random.default_rng(0)
+        draws = rng.normal(size=(300, 4, 1))
+        draws[:, 0, :] += 10.0  # one chain far away
+        r = np.asarray(split_rhat(jnp.asarray(draws)))
+        assert r[0] > 1.5

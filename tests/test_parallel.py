@@ -1,0 +1,173 @@
+"""Sharded-pipeline tests on the 8-device virtual CPU mesh.
+
+Validates that the distributed spectral stage and masked-row GPR objective
+match their single-device counterparts exactly (same math, psum-reduced),
+per SURVEY §4(c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flgp_tpu.config import GraphConfig, KernelType, LaplacianType
+from flgp_tpu.fit.spectral import build_spectrum
+from flgp_tpu.models import gpr as gpr_mod
+from flgp_tpu.models.latent import GpcLogPost, WhitenedGP
+from flgp_tpu.ops.kmeans import kmeans
+from flgp_tpu.parallel.mcmc import pooled_mean_variance, sharded_hmc_fn
+from flgp_tpu.parallel.mesh import make_mesh, replicate, shard_rows
+from flgp_tpu.parallel.spectral import (
+    sharded_gpr_nmll_fn,
+    sharded_predict_fn,
+    sharded_spectrum_fn,
+)
+from flgp_tpu.types import EigenPair
+
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV
+    return make_mesh(N_DEV, ("data",))
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(3)
+    n, d, s = 160, 3, 24
+    X = jnp.asarray(rng.normal(size=(n, d)))
+    key = jax.random.PRNGKey(0)
+    sub = kmeans(key, X, s)
+    return X, sub
+
+
+class TestShardedSpectrum:
+    @pytest.mark.parametrize("gl", [LaplacianType.RW, LaplacianType.CLUSTER_NORMALIZED])
+    def test_matches_single_device(self, mesh, problem, gl):
+        X, sub = problem
+        g = GraphConfig(s=24, r=3, K=10, gl=gl, kernel=KernelType.LAE)
+
+        # single-device reference using the same anchors
+        from flgp_tpu.ops.spectrum import cross_similarity_lae, spectrum_from_Z
+
+        Z = cross_similarity_lae(X, sub.centers, g.r, g.gl, sub.counts)
+        ref = spectrum_from_Z(Z, 10, g.root)
+
+        fn = sharded_spectrum_fn(mesh, g)
+        values, vectors = jax.jit(fn)(
+            shard_rows(mesh, X), replicate(mesh, sub.centers), replicate(mesh, sub.counts)
+        )
+        np.testing.assert_allclose(np.asarray(values), np.asarray(ref.values), atol=1e-8)
+        # vectors equal up to per-column sign
+        got, want = np.asarray(vectors), np.asarray(ref.vectors)
+        for k in range(10):
+            dot = got[:, k] @ want[:, k] / (np.linalg.norm(got[:, k]) * np.linalg.norm(want[:, k]))
+            np.testing.assert_allclose(abs(dot), 1.0, atol=1e-8)
+
+
+class TestShardedNmll:
+    def test_matches_woodbury_nmll(self, mesh, problem):
+        X, sub = problem
+        n = X.shape[0]
+        K = 10
+        g = GraphConfig(s=24, r=3, K=K)
+        key = jax.random.PRNGKey(1)
+        eig, _ = build_spectrum(key, X, g)
+
+        rng = np.random.default_rng(0)
+        mask = (rng.uniform(size=n) < 0.4).astype(float)
+        Y_full = rng.normal(size=n) * mask
+        m_idx = np.where(mask > 0)[0]
+
+        t, noise, sigma = 2.0, 0.5, 1e-5
+        ref = gpr_mod.gpr_nmll(
+            eig, jnp.asarray(Y_full[m_idx]), jnp.asarray(m_idx), K,
+            jnp.asarray(t), jnp.asarray(noise), sigma,
+        )
+
+        fn = sharded_gpr_nmll_fn(mesh, K, sigma)
+        got = jax.jit(fn)(
+            replicate(mesh, eig.values),
+            shard_rows(mesh, eig.vectors),
+            shard_rows(mesh, jnp.asarray(Y_full)),
+            shard_rows(mesh, jnp.asarray(mask)),
+            jnp.asarray(t),
+            jnp.asarray(noise),
+        )
+        # sharded form drops the constant 0.5·m·log(2π)-style terms? No — it
+        # uses the same expression; compare directly.
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-8)
+
+    def test_gradients_flow(self, mesh, problem):
+        X, sub = problem
+        n = X.shape[0]
+        K = 10
+        eig, _ = build_spectrum(jax.random.PRNGKey(1), X, GraphConfig(s=24, r=3, K=K))
+        rng = np.random.default_rng(0)
+        mask = (rng.uniform(size=n) < 0.4).astype(float)
+        Y_full = rng.normal(size=n) * mask
+        fn = sharded_gpr_nmll_fn(mesh, K, 1e-5)
+
+        def obj(params):
+            return fn(
+                replicate(mesh, eig.values),
+                shard_rows(mesh, eig.vectors),
+                shard_rows(mesh, jnp.asarray(Y_full)),
+                shard_rows(mesh, jnp.asarray(mask)),
+                jnp.exp(params[0]),
+                jnp.exp(params[1]),
+            )
+
+        g = jax.jit(jax.grad(obj))(jnp.zeros(2))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_sharded_predict_matches(self, mesh, problem):
+        X, sub = problem
+        n = X.shape[0]
+        K = 10
+        eig, _ = build_spectrum(jax.random.PRNGKey(1), X, GraphConfig(s=24, r=3, K=K))
+        rng = np.random.default_rng(0)
+        mask = (rng.uniform(size=n) < 0.4).astype(float)
+        Y_full = rng.normal(size=n) * mask
+        m_idx = np.where(mask > 0)[0]
+        t, noise, sigma = 2.0, 0.5, 1e-5
+
+        eigK = EigenPair(eig.values[:K], eig.vectors)
+        ref = gpr_mod.gpr_predict(
+            eigK, jnp.asarray(Y_full[m_idx]), jnp.asarray(m_idx), jnp.arange(n),
+            K, jnp.asarray(t), jnp.asarray(noise), sigma,
+        )
+        fn = sharded_predict_fn(mesh, K, sigma)
+        got = jax.jit(fn)(
+            replicate(mesh, eig.values),
+            shard_rows(mesh, eig.vectors),
+            shard_rows(mesh, jnp.asarray(Y_full)),
+            shard_rows(mesh, jnp.asarray(mask)),
+            jnp.asarray(t),
+            jnp.asarray(noise),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-8)
+
+
+class TestChainParallel:
+    def test_sharded_hmc_runs(self):
+        chain_mesh = make_mesh(N_DEV, ("chain",))
+        dim = 4
+        rng = np.random.default_rng(0)
+        target_mean = jnp.asarray(rng.normal(size=dim))
+
+        def logprob(x):
+            return -0.5 * jnp.sum((x - target_mean) ** 2)
+
+        n_chains = 2 * N_DEV
+        keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n_chains)])
+        keys = jnp.stack([keys, keys], axis=1)
+        x0 = jnp.asarray(rng.normal(size=(n_chains, dim)))
+
+        hmc = jax.jit(sharded_hmc_fn(chain_mesh, logprob, n_warmup=100, n_samples=200, n_leapfrog=8))
+        run = hmc(shard_rows(chain_mesh, keys, "chain"), shard_rows(chain_mesh, x0, "chain"))
+        mean, var = pooled_mean_variance(chain_mesh, run.samples)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(target_mean), atol=0.25)
+        np.testing.assert_allclose(np.asarray(var), 1.0, atol=0.5)
