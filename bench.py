@@ -14,6 +14,13 @@ import json
 import time
 
 import jax
+
+# Mixed-precision policy (measured on v5e): the graph/spectral stage runs
+# f32 with PRECISION-pinned matmuls; the solve tail (Newton/Cholesky/Gibbs)
+# runs f64 — torus GPC error 0.016 at f32-stage speed.  x64 must be on for
+# the f64 tail to exist.
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,7 +38,10 @@ def main():
 
     # ---- torus GPC, LKFLGP config ---------------------------------------
     torus = torus_rings(n=4800, m_train=100, seed=1234)
-    cfg = FitConfig(graph=GraphConfig(s=600, r=3, K=100), sigma=1e-3)
+    cfg = FitConfig(
+        graph=GraphConfig(s=600, r=3, K=100), sigma=1e-3,
+        dtype=jnp.float32, solve_dtype=jnp.float64,
+    )
 
     def run_torus():
         return flgp_tpu.fit_lae_logit_gp(
@@ -46,7 +56,10 @@ def main():
 
     # ---- spiral GPR, LKFLGP config --------------------------------------
     sp = spiral(n=4000, m_train=200, seed=1234)
-    cfg_r = FitConfig(graph=GraphConfig(s=500, r=3, K=100), sigma=1e-5)
+    cfg_r = FitConfig(
+        graph=GraphConfig(s=500, r=3, K=100), sigma=1e-5,
+        dtype=jnp.float32, solve_dtype=jnp.float64,
+    )
 
     def run_spiral():
         return flgp_tpu.fit_lae_regression_gp(key, sp.x_train, sp.y_train, sp.x_test, cfg_r)
@@ -87,6 +100,38 @@ def main():
     ess_vals = ess(np.asarray(run.samples, np.float64))
     ess_per_sec = float(np.min(ess_vals)) / hmc_s
 
+    # ---- spectral stage at n=1e6 (north-star scale metric) ---------------
+    # Full LAE pipeline — kNN + FISTA LAE + Laplacian normalize + Gram/eigh
+    # spectrum, s=1024 anchors, K=128 — on one chip.  Anchors are fed
+    # directly (k-means++ seeding measured separately) so this times the
+    # graph+spectrum build the reference runs under TBB.
+    from flgp_tpu.config import LaplacianType
+    from flgp_tpu.ops.knn import knn as _knn
+    from flgp_tpu.ops.lae import lae_weights as _lae
+    from flgp_tpu.ops.laplacian import normalize_graph_laplacian as _norm
+    from flgp_tpu.ops.spectrum import spectrum_from_Z as _spec
+    from flgp_tpu.types import EllMatrix as _Ell
+
+    n_big, d_big, s_big, K_big = 1_000_000, 3, 1024, 128
+    kb = jax.random.PRNGKey(7)
+    X_big = jax.random.normal(kb, (n_big, d_big), jnp.float32)
+    U_big = X_big[:: n_big // s_big][:s_big]
+
+    @jax.jit
+    def spectral_stage(X, U):
+        res = _knn(X, U, 3)
+        w = _lae(X, U, res.indices)
+        Z = _Ell(w, res.indices, s_big)
+        Z = _norm(Z, LaplacianType.NORMALIZED, None)
+        return _spec(Z, K_big, True)
+
+    eig_big = spectral_stage(X_big, U_big)
+    jax.block_until_ready(eig_big.vectors)
+    t0 = time.perf_counter()
+    eig_big = spectral_stage(X_big, U_big)
+    jax.block_until_ready(eig_big.vectors)
+    spectral_1e6_s = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "torus_gpc_lae_fit_wall_clock",
         "value": round(torus_fit_s, 4),
@@ -99,6 +144,7 @@ def main():
         "spiral_rmse_baseline": BASELINE_SPIRAL_RMSE,
         "gpc_min_ess_per_sec_per_chip": round(ess_per_sec, 1),
         "hmc_accept_mean": round(float(jnp.mean(run.accept_prob)), 3),
+        "spectral_stage_n1e6_s": round(spectral_1e6_s, 4),
     }))
 
 

@@ -57,6 +57,16 @@ class NoiseModel(str, enum.Enum):
 # diagonals (e.g. src/Utils.cpp:201-211, src/train.cpp:392).
 EPS = 1e-9
 
+# Matmul precision for the numerically critical contractions (distance
+# expansion, Gram matrices, heat-kernel assembly, model solves).  TPU f32
+# matmuls otherwise run as bf16 passes on the MXU — catastrophic for the
+# |x|²−2x·u+|u|² cancellation and for spectra clustered near 1 (measured:
+# torus GPC error 0.35 vs 0.017, spiral RMSE 2.96 vs 0.51).  HIGHEST costs
+# nothing measurable at these shapes (fit wall-clock unchanged at ±1%).
+import jax as _jax  # noqa: E402
+
+PRECISION = _jax.lax.Precision.HIGHEST
+
 
 @dataclasses.dataclass(frozen=True)
 class GraphConfig:
@@ -125,10 +135,21 @@ class FitConfig:
     # GLGP options (src/Fit.cpp:361-512)
     gl_sparse: bool = False
     gl_threshold: float = 0.01
+    # "dense": materialize + eigh (reference semantics); "lobpcg": implicit
+    # ELL operator + blocked LOBPCG — the large-n path (requires gl_sparse)
+    gl_solver: str = "dense"
+    gl_lobpcg_iters: int = 80
     # prediction
     n_gibbs: int = 100                 # PG Gibbs sweeps (src/PGLogitModel.cpp:48-53)
     output_cov: bool = False
     dtype: jnp.dtype = jnp.float32
+    # dtype for the train/predict solve tail (Newton mode-finding, Cholesky,
+    # Woodbury, PG Gibbs).  None = same as ``dtype``.  On TPU the graph/
+    # spectral stage is robust in f32 (with PRECISION-pinned matmuls) but the
+    # solve tail is not: f32 end-to-end gives torus GPC error 0.037 vs 0.016
+    # with an f64 tail, at unchanged wall-clock (the tail matrices are m×m).
+    # Requires jax_enable_x64 when set to float64.
+    solve_dtype: Optional[jnp.dtype] = None
 
 
 def default_a2s() -> jnp.ndarray:

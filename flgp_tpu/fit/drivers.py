@@ -49,6 +49,17 @@ def _concat_all(X, X_new, dtype):
     return jnp.concatenate([X, X_new], axis=0), X.shape[0], X.shape[0] + X_new.shape[0]
 
 
+def _solve_cast(cfg: FitConfig, eigenpair: EigenPair, *arrays):
+    """Cast the spectral pair + data to ``cfg.solve_dtype`` for the solve
+    tail (see config.FitConfig.solve_dtype).  No-op when unset."""
+    dt = cfg.solve_dtype
+    if dt is None or dt == cfg.dtype:
+        return cfg, eigenpair, arrays
+    cfg = dataclasses.replace(cfg, dtype=dt)
+    eigenpair = EigenPair(eigenpair.values.astype(dt), eigenpair.vectors.astype(dt))
+    return cfg, eigenpair, tuple(a.astype(dt) for a in arrays)
+
+
 # ---------------------------------------------------------------------------
 # Shared train/predict tails
 # ---------------------------------------------------------------------------
@@ -189,8 +200,9 @@ def _lae_regression_impl(key, X_all, Y, cfg: FitConfig, m: int, n: int):
     g = dataclasses.replace(cfg.graph, kernel=KernelType.LAE)
     K = min(g.resolved_K(), n)
     eig, _ = spectral.build_spectrum(key, X_all, g)
-    res = _train_gpr(eig, Y, jnp.arange(m), K, cfg)
-    out = _gpr_tail(eig, Y, m, n, K, cfg, res.t, res.noise)
+    scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
+    res = _train_gpr(seig, Ys, jnp.arange(m), K, scfg)
+    out = _gpr_tail(seig, Ys, m, n, K, scfg, res.t, res.noise)
     return out, res, eig
 
 
@@ -209,8 +221,9 @@ def _lae_logit_impl(key, X_all, Y, N, cfg: FitConfig, m: int, n: int, max_count:
     K = min(g.resolved_K(), n)
     k_spec, k_pg = jax.random.split(key)
     eig, _ = spectral.build_spectrum(k_spec, X_all, g)
-    res = _train_gpc(eig, Y, N, jnp.arange(m), K, cfg)
-    out = _gpc_tail(k_pg, eig, Y, N, m, n, K, cfg, res.x, max_count)
+    scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
+    res = _train_gpc(seig, Ys, Ns, jnp.arange(m), K, scfg)
+    out = _gpc_tail(k_pg, seig, Ys, Ns, m, n, K, scfg, res.x, max_count)
     return out, res, eig
 
 
@@ -242,14 +255,16 @@ def _se_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
 
     def per_a2(a2):
         eig = spectral.se_spectrum_at(basis, a2, g)
-        res = _train_gpr(eig, Y, idx, K, cfg)
+        scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
+        res = _train_gpr(seig, Ys, idx, K, scfg)
         return eig, res
 
     eigs, results = jax.vmap(per_a2)(a2s)
     best = jnp.argmax(-results.obj)  # max marginal (min objective)
     eig = _select(eigs, best)
     res = _select(results, best)
-    out = _gpr_tail(eig, Y, m, n, K, cfg, res.t, res.noise)
+    scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
+    out = _gpr_tail(seig, Ys, m, n, K, scfg, res.t, res.noise)
     return out, res, a2s[best], eig
 
 
@@ -272,14 +287,16 @@ def _se_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, max_co
 
     def per_a2(a2):
         eig = spectral.se_spectrum_at(basis, a2, g)
-        res = _train_gpc(eig, Y, N, idx, K, cfg)
+        scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
+        res = _train_gpc(seig, Ys, Ns, idx, K, scfg)
         return eig, res
 
     eigs, results = jax.vmap(per_a2)(a2s)
     best = jnp.argmax(-results.obj)
     eig = _select(eigs, best)
     res = _select(results, best)
-    out = _gpc_tail(k_pg, eig, Y, N, m, n, K, cfg, res.x, max_count)
+    scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
+    out = _gpc_tail(k_pg, seig, Ys, Ns, m, n, K, scfg, res.x, max_count)
     return out, res, a2s[best], eig
 
 
@@ -314,7 +331,8 @@ def _nystrom_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int)
         eig_train = spectral.nystrom_extend(
             anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False
         )
-        res = _train_gpr(eig_train, Y, idx, K, cfg)
+        scfg, seig, (Ys,) = _solve_cast(cfg, eig_train, Y)
+        res = _train_gpr(seig, Ys, idx, K, scfg)
         return anchor, Z_UU, res
 
     anchors, Z_UUs, results = jax.vmap(per_a2)(a2s)
@@ -325,7 +343,8 @@ def _nystrom_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int)
     eig = spectral.nystrom_extend(
         anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True
     )
-    out = _gpr_tail(eig, Y, m, n, K, cfg, res.t, res.noise)
+    scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
+    out = _gpr_tail(seig, Ys, m, n, K, scfg, res.t, res.noise)
     return out, res, a2s[best], eig
 
 
@@ -352,7 +371,8 @@ def _nystrom_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, m
         eig_train = spectral.nystrom_extend(
             anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False
         )
-        res = _train_gpc(eig_train, Y, N, idx, K, cfg)
+        scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig_train, Y, N)
+        res = _train_gpc(seig, Ys, Ns, idx, K, scfg)
         return anchor, Z_UU, res
 
     anchors, Z_UUs, results = jax.vmap(per_a2)(a2s)
@@ -363,7 +383,8 @@ def _nystrom_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, m
     eig = spectral.nystrom_extend(
         anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True
     )
-    out = _gpc_tail(k_pg, eig, Y, N, m, n, K, cfg, res.x, max_count)
+    scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
+    out = _gpc_tail(k_pg, seig, Ys, Ns, m, n, K, scfg, res.x, max_count)
     return out, res, a2s[best], eig
 
 
@@ -389,15 +410,22 @@ def fit_nystrom_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig())
 # ---------------------------------------------------------------------------
 
 
+def _gl_spectrum(key, basis, a2, K: int, cfg: FitConfig):
+    if cfg.gl_solver == "lobpcg":
+        return spectral.gl_spectrum_lobpcg(key, basis, a2, K, cfg.gl_lobpcg_iters)
+    return spectral.gl_spectrum_at(basis, a2, K)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n"))
-def _gl_regression_impl(X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
+def _gl_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
     K = cfg.graph.K if cfg.graph.K > 0 else min(cfg.graph.s, n)
     basis = spectral.gl_setup(X_all, cfg.gl_sparse, cfg.gl_threshold)
     idx = jnp.arange(m)
 
     def per_a2(a2):
-        eig = spectral.gl_spectrum_at(basis, a2, K)
-        res = _train_gpr(eig, Y, idx, K, cfg)
+        eig = _gl_spectrum(key, basis, a2, K, cfg)
+        scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
+        res = _train_gpr(seig, Ys, idx, K, scfg)
         return eig, res
 
     # lax.map bounds memory: each grid point materializes an (n, n) graph
@@ -405,17 +433,17 @@ def _gl_regression_impl(X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
     best = jnp.argmax(-results.obj)
     eig = _select(eigs, best)
     res = _select(results, best)
-    out = _gpr_tail(eig, Y, m, n, K, cfg, res.t, res.noise)
+    scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
+    out = _gpr_tail(seig, Ys, m, n, K, scfg, res.t, res.noise)
     return out, res, a2s[best], eig
 
 
 def fit_gl_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5)) -> FitResult:
     """GPR on the exact graph Laplacian over all n points (src/Fit.cpp:361-512)."""
-    del key  # no subsampling stage
     cfg = _resolve(cfg, "regression")
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
-    out, res, best_a2, eig = _gl_regression_impl(X_all, Y, _a2_grid(cfg), cfg, m, n)
+    out, res, best_a2, eig = _gl_regression_impl(key, X_all, Y, _a2_grid(cfg), cfg, m, n)
     return _to_result(out, dict(t=res.t, noise=res.noise, a2=best_a2), -res.obj, eig)
 
 
@@ -424,17 +452,20 @@ def _gl_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, max_co
     K = cfg.graph.K if cfg.graph.K > 0 else min(cfg.graph.s, n)
     basis = spectral.gl_setup(X_all, cfg.gl_sparse, cfg.gl_threshold)
     idx = jnp.arange(m)
+    k_spec, k_pg = jax.random.split(key)
 
     def per_a2(a2):
-        eig = spectral.gl_spectrum_at(basis, a2, K)
-        res = _train_gpc(eig, Y, N, idx, K, cfg)
+        eig = _gl_spectrum(k_spec, basis, a2, K, cfg)
+        scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
+        res = _train_gpc(seig, Ys, Ns, idx, K, scfg)
         return eig, res
 
     eigs, results = jax.lax.map(per_a2, a2s)
     best = jnp.argmax(-results.obj)
     eig = _select(eigs, best)
     res = _select(results, best)
-    out = _gpc_tail(key, eig, Y, N, m, n, K, cfg, res.x, max_count)
+    scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
+    out = _gpc_tail(k_pg, seig, Ys, Ns, m, n, K, scfg, res.x, max_count)
     return out, res, a2s[best], eig
 
 

@@ -24,7 +24,7 @@ from ..ops import linalg
 from ..ops.heat_kernel import heat_kernel, heat_kernel_diag
 from ..types import EigenPair
 from . import spectral
-from .drivers import FitResult, _a2_grid, _concat_all, _select, _train_gpc
+from .drivers import FitResult, _a2_grid, _concat_all, _select, _solve_cast, _train_gpc
 
 
 def one_hot_labels(Y: jnp.ndarray, J: int) -> jnp.ndarray:
@@ -82,9 +82,10 @@ def _lae_mult_impl(key, X_all, Y, cfg: FitConfig, m: int, n: int, J: int):
     eig, _ = spectral.build_spectrum(k_spec, X_all, g)
     idx = jnp.arange(m)
     aug_y = one_hot_labels(Y, J)
-    res = _train_mult(eig, aug_y, idx, K, cfg)
-    label_pred, probs = _predict_mult(k_pg, eig, aug_y, res.x, idx, jnp.arange(n), K, cfg)
-    mean, cov = _posterior_mult(eig, aug_y, res.x, idx, jnp.arange(m, n), K, cfg.sigma)
+    scfg, seig, (aug_s,) = _solve_cast(cfg, eig, aug_y)
+    res = _train_mult(seig, aug_s, idx, K, scfg)
+    label_pred, probs = _predict_mult(k_pg, seig, aug_s, res.x, idx, jnp.arange(n), K, scfg)
+    mean, cov = _posterior_mult(seig, aug_s, res.x, idx, jnp.arange(m, n), K, scfg.sigma)
     return label_pred, probs, mean, cov, res, eig
 
 
@@ -116,7 +117,8 @@ def _se_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: int):
 
     def per_a2(a2):
         eig = spectral.se_spectrum_at(basis, a2, g)
-        res = _train_mult(eig, aug_y, idx, K, cfg)
+        scfg, seig, (aug_s,) = _solve_cast(cfg, eig, aug_y)
+        res = _train_mult(seig, aug_s, idx, K, scfg)
         return eig, res
 
     eigs, results = jax.vmap(per_a2)(a2s)
@@ -124,8 +126,9 @@ def _se_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: int):
     best = jnp.argmax(jnp.sum(-results.obj, axis=1))
     eig = _select(eigs, best)
     res = _select(results, best)
-    label_pred, probs = _predict_mult(k_pg, eig, aug_y, res.x, idx, jnp.arange(n), K, cfg)
-    mean, cov = _posterior_mult(eig, aug_y, res.x, idx, jnp.arange(m, n), K, cfg.sigma)
+    scfg, seig, (aug_s,) = _solve_cast(cfg, eig, aug_y)
+    label_pred, probs = _predict_mult(k_pg, seig, aug_s, res.x, idx, jnp.arange(n), K, scfg)
+    mean, cov = _posterior_mult(seig, aug_s, res.x, idx, jnp.arange(m, n), K, scfg.sigma)
     return label_pred, probs, mean, cov, res, a2s[best], eig
 
 
@@ -163,7 +166,8 @@ def _nystrom_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: in
         eig_train = spectral.nystrom_extend(
             anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False
         )
-        res = _train_mult(eig_train, aug_y, idx, K, cfg)
+        scfg, seig, (aug_s,) = _solve_cast(cfg, eig_train, aug_y)
+        res = _train_mult(seig, aug_s, idx, K, scfg)
         return anchor, Z_UU, res
 
     anchors, Z_UUs, results = jax.vmap(per_a2)(a2s)
@@ -174,8 +178,9 @@ def _nystrom_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: in
     eig = spectral.nystrom_extend(
         anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True
     )
-    label_pred, probs = _predict_mult(k_pg, eig, aug_y, res.x, idx, jnp.arange(n), K, cfg)
-    mean, cov = _posterior_mult(eig, aug_y, res.x, idx, jnp.arange(m, n), K, cfg.sigma)
+    scfg, seig, (aug_s,) = _solve_cast(cfg, eig, aug_y)
+    label_pred, probs = _predict_mult(k_pg, seig, aug_s, res.x, idx, jnp.arange(n), K, scfg)
+    mean, cov = _posterior_mult(seig, aug_s, res.x, idx, jnp.arange(m, n), K, scfg.sigma)
     return label_pred, probs, mean, cov, res, a2s[best], eig
 
 
@@ -207,15 +212,17 @@ def _gl_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: int):
 
     def per_a2(a2):
         eig = spectral.gl_spectrum_at(basis, a2, K)
-        res = _train_mult(eig, aug_y, idx, K, cfg)
+        scfg, seig, (aug_s,) = _solve_cast(cfg, eig, aug_y)
+        res = _train_mult(seig, aug_s, idx, K, scfg)
         return eig, res
 
     eigs, results = jax.lax.map(per_a2, a2s)
     best = jnp.argmax(jnp.sum(-results.obj, axis=1))
     eig = _select(eigs, best)
     res = _select(results, best)
-    label_pred, probs = _predict_mult(key, eig, aug_y, res.x, idx, jnp.arange(n), K, cfg)
-    mean, cov = _posterior_mult(eig, aug_y, res.x, idx, jnp.arange(m, n), K, cfg.sigma)
+    scfg, seig, (aug_s,) = _solve_cast(cfg, eig, aug_y)
+    label_pred, probs = _predict_mult(key, seig, aug_s, res.x, idx, jnp.arange(n), K, scfg)
+    mean, cov = _posterior_mult(seig, aug_s, res.x, idx, jnp.arange(m, n), K, scfg.sigma)
     return label_pred, probs, mean, cov, res, a2s[best], eig
 
 

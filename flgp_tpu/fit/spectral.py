@@ -14,7 +14,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import EPS, GraphConfig, KernelType, LaplacianType
+from ..config import EPS, PRECISION, GraphConfig, KernelType, LaplacianType
 from ..ops.distance import sqdist
 from ..ops.kmeans import SubsampleResult, subsample
 from ..ops.knn import KnnResult, knn
@@ -124,7 +124,9 @@ def nystrom_extend(
         cols = jnp.sum(Z_UU, axis=1) + EPS
     A_XU = Z_XU / rowsums[:, None] / cols[None, :]
     W_XU = A_XU / (jnp.sum(A_XU, axis=1) + EPS)[:, None]
-    V_ext = W_XU @ anchor.vectors / (jnp.abs(anchor.values)[None, :] + EPS)
+    V_ext = jnp.matmul(W_XU, anchor.vectors, precision=PRECISION) / (
+        jnp.abs(anchor.values)[None, :] + EPS
+    )
     return EigenPair(anchor.values, V_ext)
 
 
@@ -176,3 +178,36 @@ def gl_spectrum_at(basis: GlBasis, a2: jnp.ndarray, K: int) -> EigenPair:
     colnorms = jnp.linalg.norm(V, axis=0)
     V = jnp.sqrt(jnp.asarray(n, V.dtype)) * V / (colnorms[None, :] + EPS)
     return EigenPair(w, V)
+
+
+def gl_spectrum_lobpcg(
+    key: jax.Array, basis: GlBasis, a2: jnp.ndarray, K: int, iters: int = 80
+) -> EigenPair:
+    """Large-n GLGP spectrum without densifying: LOBPCG on the implicit
+    symmetrized, doubly-normalized operator.
+
+    The reference's sparse branch builds an Eigen CSR graph and hands it to
+    RSpectra::eigs_sym (src/Fit.cpp:388-448).  Here the kNN self-graph stays
+    as a static-shape COO edge list (ops.sparse_graph) and the operator
+
+        W = D_A^{-1/2} · A · D_A^{-1/2},   A = D^{-1} · (Z+Zᵀ)/2 · D⁻¹
+
+    is applied as gather + segment-sum matvecs — O(n·r·K) per LOBPCG
+    iteration, no (n, n) materialization.  Same eigensystem as
+    ``gl_spectrum_at`` (validated in tests/test_scale.py).
+    """
+    if basis.knn_idx is None:
+        raise ValueError("gl_spectrum_lobpcg requires the sparse kNN basis")
+    from ..ops.lobpcg import lobpcg_standard
+    from ..ops.sparse_graph import glgp_operator, symmetrize_knn
+
+    n = basis.knn_idx.shape[0]
+    vals = jnp.exp(-basis.sq_dists / (a2 * basis.dist_mean))
+    W, sqrt_da_inv = glgp_operator(symmetrize_knn(basis.knn_idx, vals, n))
+
+    X0 = jax.random.normal(key, (n, K), vals.dtype)
+    res = lobpcg_standard(W.matvec, X0, iters=iters)
+    V = sqrt_da_inv[:, None] * res.eigenvectors
+    colnorms = jnp.linalg.norm(V, axis=0)
+    V = jnp.sqrt(jnp.asarray(n, V.dtype)) * V / (colnorms[None, :] + EPS)
+    return EigenPair(res.eigenvalues, V)

@@ -31,12 +31,12 @@ def _resample_f(key, C, kappa, omega):
     sqrt_om = jnp.sqrt(omega)
     B = linalg.add_diag(sqrt_om[:, None] * C * sqrt_om[None, :], jnp.ones((), C.dtype))
     L_B = linalg.cholesky(B)
-    sigma_post = C - C @ (sqrt_om[:, None] * linalg.chol_solve(L_B, sqrt_om[:, None] * C))
-    mu_post = sigma_post @ kappa
+    sigma_post = C - linalg.pdot(C, sqrt_om[:, None] * linalg.chol_solve(L_B, sqrt_om[:, None] * C))
+    mu_post = linalg.pdot(sigma_post, kappa[:, None])[:, 0]
     # jitter for the posterior-covariance factorization (near-singular when ω large)
     L_post = linalg.cholesky(linalg.add_diag(sigma_post, jnp.full((m,), 1e-10, C.dtype)))
     eps = jax.random.normal(key, (m,), C.dtype)
-    return mu_post + L_post @ eps
+    return mu_post + linalg.pdot(L_post, eps[:, None])[:, 0]
 
 
 def pg_gibbs_chain(
@@ -87,8 +87,8 @@ def collapsed_predict(
     sqrt_om = jnp.sqrt(omega)
     B = linalg.add_diag(sqrt_om[:, None] * C * sqrt_om[None, :], jnp.ones((), C.dtype))
     L_B = linalg.cholesky(B)
-    adj = kappa - sqrt_om * linalg.chol_solve(L_B, (sqrt_om * (C @ kappa))[:, None])[:, 0]
-    mu_new = Cnv @ adj
+    adj = kappa - sqrt_om * linalg.chol_solve(L_B, (sqrt_om * linalg.pdot(C, kappa[:, None])[:, 0])[:, None])[:, 0]
+    mu_new = linalg.pdot(Cnv, adj[:, None])[:, 0]
     return jax.nn.sigmoid(mu_new)
 
 

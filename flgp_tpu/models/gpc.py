@@ -62,8 +62,8 @@ def _newton_mode(
         B = linalg.add_diag(sqrt_W[:, None] * C * sqrt_W[None, :], jnp.ones((), C.dtype))
         L_B = linalg.cholesky(B)
         b = W * st.f + (Y - N * pi)
-        a = b - sqrt_W * linalg.chol_solve(L_B, (sqrt_W * (C @ b))[:, None])[:, 0]
-        f_new = C @ a
+        a = b - sqrt_W * linalg.chol_solve(L_B, (sqrt_W * linalg.pdot(C, b[:, None])[:, 0])[:, None])[:, 0]
+        f_new = linalg.pdot(C, a[:, None])[:, 0]
         delta = jnp.sum(jnp.abs(st.f - f_new))
         return NewtonState(st.it + 1, f_new, a, linalg.chol_logdet_half(L_B), delta)
 
@@ -144,10 +144,10 @@ def gpc_posterior_moments(
     B = linalg.add_diag(sqrt_W[:, None] * C11 * sqrt_W[None, :], jnp.ones((), C11.dtype))
     L_B = linalg.cholesky(B)
 
-    mean = C21 @ (Y - pi)
+    mean = linalg.pdot(C21, (Y - pi)[:, None])[:, 0]
     Binv = linalg.chol_solve(L_B, jnp.eye(m, dtype=C11.dtype))
     beta = sqrt_W[:, None] * Binv * sqrt_W[None, :]
-    cov = C22_diag - jnp.sum((C21 @ beta) * C21, axis=1)
+    cov = C22_diag - jnp.sum(linalg.pdot(C21, beta) * C21, axis=1)
     return mean, cov
 
 

@@ -132,7 +132,7 @@ def gpr_predict(
         L = linalg.cholesky(C)
         alpha = linalg.chol_solve(L, Y2)
         Cnv = heat_kernel(eigenpair, t, K, idx1, idx0)
-        pred = Cnv @ alpha
+        pred = linalg.pdot(Cnv, alpha)
     else:
         lam = eigenpair.laplacian_eigenvalues(K)
         lam_sqrt = jnp.exp(-0.5 * t * lam)
@@ -140,7 +140,7 @@ def gpr_predict(
         alpha, _ = linalg.woodbury_solve_terms(V, lam_sqrt, 1.0 / z, Y2)
         Vnv = eigenpair.vectors[idx1, :K]
         w = heat_kernel_weights(eigenpair, t, K)
-        pred = Vnv @ (w[:, None] * (V.T @ alpha))
+        pred = linalg.pdot(Vnv, w[:, None] * linalg.pdot(V.T, alpha))
 
     return pred[:, 0] if Y.ndim == 1 else pred
 
@@ -174,13 +174,13 @@ def gpr_posterior_cov(
     else:
         V1 = eigenpair.vectors[idx0, :K]
         lam_sqrt = jnp.exp(-0.5 * t * eigenpair.laplacian_eigenvalues(K))
-        VtV = V1.T @ V1
+        VtV = linalg.pdot(V1.T, V1)
         Q = lam_sqrt[:, None] * VtV * lam_sqrt[None, :]
         Q = linalg.add_diag(Q, z)
         L_Q = linalg.cholesky(Q)
-        inner = VtV - VtV @ (lam_sqrt[:, None] * linalg.chol_solve(L_Q, lam_sqrt[:, None] * VtV))
+        inner = VtV - linalg.pdot(VtV, lam_sqrt[:, None] * linalg.chol_solve(L_Q, lam_sqrt[:, None] * VtV))
         A = (1.0 / z) * (w[:, None] * inner * w[None, :])
-        beta = jnp.sum(V2 * (V2 @ A), axis=1)
+        beta = jnp.sum(V2 * linalg.pdot(V2, A), axis=1)
 
     prior = jnp.sum((V2 * w[None, :]) * V2, axis=1)
     return prior + z - beta

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EPS
+from ..ops.linalg import pdot
 from ..types import EigenPair
 
 
@@ -42,7 +43,7 @@ def latent_f(gp: WhitenedGP, u: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """f = V·diag(exp(−t·lam/2))·u (marginal variance matches the heat kernel
     up to the σ ridge, src/Spectrum.cpp:83-94)."""
     scale = jnp.exp(-0.5 * t * gp.lam)
-    return gp.V @ (scale * u)
+    return pdot(gp.V, (scale * u)[..., None])[..., 0]
 
 
 def log_prior_u(u: jnp.ndarray) -> jnp.ndarray:

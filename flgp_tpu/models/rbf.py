@@ -46,10 +46,12 @@ def rbf_sor_nmll(
     C_ms = jnp.exp(-dist_XU / (2.0 * t))
     L_ss = linalg.cholesky(C_ss + jnp.eye(s, dtype=C_ss.dtype) * 1e-10)
 
-    Q = C_ss + C_ms.T @ (z_inv[:, None] * C_ms)
+    Q = C_ss + linalg.pdot(C_ms.T, z_inv[:, None] * C_ms)
     L_Q = linalg.cholesky(Q)
     ZiY = z_inv[:, None] * Y
-    alpha = ZiY - z_inv[:, None] * (C_ms @ linalg.chol_solve(L_Q, C_ms.T @ ZiY))
+    alpha = ZiY - z_inv[:, None] * linalg.pdot(
+        C_ms, linalg.chol_solve(L_Q, linalg.pdot(C_ms.T, ZiY))
+    )
 
     nmll = 0.5 * jnp.sum(Y * alpha) / q
     nmll = nmll + linalg.chol_logdet_half(L_Q) - linalg.chol_logdet_half(L_ss)
@@ -103,9 +105,9 @@ def predict_rbf_sor(
 
     C_ss = jnp.exp(-dist_UU / (2.0 * t))
     C_ms = jnp.exp(-dist_XU / (2.0 * t))
-    Q = C_ss + C_ms.T @ (z_inv[:, None] * C_ms)
+    Q = C_ss + linalg.pdot(C_ms.T, z_inv[:, None] * C_ms)
     L_Q = linalg.cholesky(Q)
-    alpha = linalg.chol_solve(L_Q, C_ms.T @ (z_inv[:, None] * Y2))
+    alpha = linalg.chol_solve(L_Q, linalg.pdot(C_ms.T, z_inv[:, None] * Y2))
     C_ns = jnp.exp(-dist_newU / (2.0 * t))
-    pred = C_ns @ alpha
+    pred = linalg.pdot(C_ns, alpha)
     return pred[:, 0] if Y.ndim == 1 else pred

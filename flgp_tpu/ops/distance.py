@@ -11,17 +11,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import PRECISION
+
 
 def sqdist(X: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
     """All-pairs squared Euclidean distances, shape (n, s).
 
     Matches the reference's expansion exactly (src/Utils.cpp:121), including
     its potential small negative values from cancellation — callers that need
-    nonnegativity clamp explicitly.
+    nonnegativity clamp explicitly.  The cross term runs at HIGHEST precision:
+    the cancellation amplifies bf16-pass error into wrong kNN graphs.
     """
     x2 = jnp.sum(X * X, axis=1, keepdims=True)
     u2 = jnp.sum(U * U, axis=1, keepdims=True)
-    G = X @ U.T
+    G = jnp.matmul(X, U.T, precision=PRECISION)
     return x2 - 2.0 * G + u2.T
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..config import PRECISION
 from ..types import EigenPair
 
 
@@ -30,7 +31,7 @@ def heat_kernel(
     w = heat_kernel_weights(eigenpair, t, K)
     V0 = eigenpair.vectors[idx0, :K]
     V1 = eigenpair.vectors[idx1, :K]
-    return jnp.einsum("ik,k,jk->ij", V0, w, V1)
+    return jnp.einsum("ik,k,jk->ij", V0, w, V1, precision=PRECISION)
 
 
 def heat_kernel_diag(
@@ -40,4 +41,4 @@ def heat_kernel_diag(
     (used for C22/Cnn, src/Fit.cpp:579-584)."""
     w = heat_kernel_weights(eigenpair, t, K)
     V = eigenpair.vectors[idx, :K]
-    return jnp.einsum("ik,k,ik->i", V, w, V)
+    return jnp.einsum("ik,k,ik->i", V, w, V, precision=PRECISION)

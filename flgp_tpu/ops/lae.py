@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import PRECISION
+
 
 def project_simplex(v: jnp.ndarray) -> jnp.ndarray:
     """Euclidean projection of each row of v onto the probability simplex.
@@ -48,8 +50,8 @@ def lae_weights(
     bound on λmax(U_iU_iᵀ).
     """
     Ui = anchors[knn_idx]                       # (n, r, d)
-    G = jnp.einsum("nrd,nsd->nrs", Ui, Ui)      # (n, r, r) Gram
-    b = jnp.einsum("nd,nrd->nr", X, Ui)         # (n, r)
+    G = jnp.einsum("nrd,nsd->nrs", Ui, Ui, precision=PRECISION)  # (n, r, r) Gram
+    b = jnp.einsum("nd,nrd->nr", X, Ui, precision=PRECISION)     # (n, r)
 
     # Gershgorin bound: λmax ≤ max_i Σ_j |G_ij|;  jitter guards degenerate rows.
     L = jnp.max(jnp.sum(jnp.abs(G), axis=-1), axis=-1) + 1e-12  # (n,)
@@ -62,7 +64,7 @@ def lae_weights(
         z_prev, z_curr, d_prev, d_curr = carry
         alpha = (d_prev - 1.0) / d_curr
         v = z_curr + alpha * (z_curr - z_prev)
-        grad = jnp.einsum("nr,nrs->ns", v, G) - b
+        grad = jnp.einsum("nr,nrs->ns", v, G, precision=PRECISION) - b
         z_next = project_simplex(v - inv_L * grad)
         d_next = (1.0 + jnp.sqrt(1.0 + 4.0 * d_curr * d_curr)) / 2.0
         return (z_curr, z_next, d_curr, d_next), None

@@ -14,7 +14,13 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from ..config import EPS
+from ..config import EPS, PRECISION
+
+
+def pdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """matmul at HIGHEST precision — the model layer's default contraction
+    (TPU f32 matmuls otherwise run as bf16 passes; see config.PRECISION)."""
+    return jnp.matmul(a, b, precision=PRECISION)
 
 
 def cholesky(C: jnp.ndarray) -> jnp.ndarray:
@@ -57,11 +63,11 @@ def woodbury_solve_terms(
     special case: its Q is (noise+σ)·(ours), and the log-determinants agree
     through 0.5·(m−K)·log(noise+σ).
     """
-    VtZiV = V.T @ (z_inv[:, None] * V)
+    VtZiV = jnp.matmul(V.T, z_inv[:, None] * V, precision=PRECISION)
     Q = lam_sqrt[:, None] * VtZiV * lam_sqrt[None, :]
     Q = add_diag(Q, jnp.ones((), dtype=V.dtype))
     L_Q = cholesky(Q)
     ZiY = z_inv[:, None] * Y
-    inner = chol_solve(L_Q, lam_sqrt[:, None] * (V.T @ ZiY))
-    alpha = ZiY - z_inv[:, None] * (V @ (lam_sqrt[:, None] * inner))
+    inner = chol_solve(L_Q, lam_sqrt[:, None] * jnp.matmul(V.T, ZiY, precision=PRECISION))
+    alpha = ZiY - z_inv[:, None] * jnp.matmul(V, lam_sqrt[:, None] * inner, precision=PRECISION)
     return alpha, L_Q

@@ -17,13 +17,19 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..config import PRECISION
+
+
+def _dot(a, b):
+    return jnp.matmul(a, b, precision=PRECISION)
+
 MatVec = Callable[[jnp.ndarray], jnp.ndarray]  # (n, k) -> (n, k)
 
 
 def _chol_qr(X: jnp.ndarray) -> jnp.ndarray:
     """Orthonormalize columns by Cholesky-QR (twice for f32 robustness)."""
     for _ in range(2):
-        G = X.T @ X
+        G = _dot(X.T, X)
         G = G + 1e-9 * jnp.trace(G) / G.shape[0] * jnp.eye(G.shape[0], dtype=X.dtype)
         L = jnp.linalg.cholesky(G)
         X = jax.scipy.linalg.solve_triangular(L, X.T, lower=True).T
@@ -62,16 +68,16 @@ def lobpcg_standard(
         S = jnp.concatenate([X, R, P], axis=1)
         S = _chol_qr(S)
         AS = matvec(S)
-        H = S.T @ AS
+        H = _dot(S.T, AS)
         H = 0.5 * (H + H.T)
         w, C = jnp.linalg.eigh(H)
         idx = jnp.argsort(-w)[:k]
         C = C[:, idx]
-        X_new = S @ C
-        AX_new = AS @ C
+        X_new = _dot(S, C)
+        AX_new = _dot(AS, C)
         # implicit P: component of the new X outside the old X span
-        P_new = X_new - X @ (X.T @ X_new)
-        AP_new = AX_new - AX @ (X.T @ X_new)
+        P_new = X_new - _dot(X, _dot(X.T, X_new))
+        AP_new = AX_new - _dot(AX, _dot(X.T, X_new))
         res = jnp.linalg.norm(R, axis=0)
         return (X_new, AX_new, P_new, AP_new), res
 

@@ -49,7 +49,8 @@ def _knn_kernel(x_ref, u_ref, u2_ref, idx_ref, d_ref, *, r: int):
     """
     x = x_ref[:]                               # (B, d)
     x2 = jnp.sum(x * x, axis=1, keepdims=True)
-    d = x2 - 2.0 * jnp.dot(x, u_ref[:].T, preferred_element_type=jnp.float32)
+    d = x2 - 2.0 * jnp.dot(x, u_ref[:].T, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
     d = d + u2_ref[:]                          # (B, s)
     s = d.shape[1]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
@@ -66,11 +67,15 @@ def _knn_kernel(x_ref, u_ref, u2_ref, idx_ref, d_ref, *, r: int):
         taken = jnp.logical_or(taken, col_ids == first)
 
 
-def fused_knn(X: jnp.ndarray, U: jnp.ndarray, r: int, block: int = 512):
-    """TPU fused kNN; falls back to the matmul+top_k path off-TPU."""
+def fused_knn(X: jnp.ndarray, U: jnp.ndarray, r: int, block: int = 512,
+              interpret: bool = False):
+    """TPU fused kNN; falls back to the matmul+top_k path off-TPU.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter on any
+    backend (correctness tests off-hardware)."""
     from .knn import knn as knn_fallback
 
-    if not (_HAVE_PALLAS and _on_tpu()):
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
         return knn_fallback(X, U, r)
 
     n, d = X.shape
@@ -95,6 +100,7 @@ def fused_knn(X: jnp.ndarray, U: jnp.ndarray, r: int, block: int = 512):
             jax.ShapeDtypeStruct((Xp.shape[0], r), jnp.int32),
             jax.ShapeDtypeStruct((Xp.shape[0], r), X.dtype),
         ],
+        interpret=interpret,
     )(Xp, U, u2)
 
     from .knn import KnnResult
@@ -116,11 +122,12 @@ def _ell_matmat_kernel(vals_ref, idx_ref, w_ref, out_ref, *, r: int):
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def ell_matmat(values: jnp.ndarray, indices: jnp.ndarray, W: jnp.ndarray, block: int = 1024):
+def ell_matmat(values: jnp.ndarray, indices: jnp.ndarray, W: jnp.ndarray, block: int = 1024,
+               interpret: bool = False):
     """(n, s)-ELL @ (s, K) on TPU; jnp gather fallback elsewhere."""
     n, r = values.shape
     s, K = W.shape
-    if not (_HAVE_PALLAS and _on_tpu()):
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
         return jnp.einsum("nr,nrk->nk", values, W[indices])
 
     pad = (-n) % block
@@ -137,5 +144,6 @@ def ell_matmat(values: jnp.ndarray, indices: jnp.ndarray, W: jnp.ndarray, block:
         ],
         out_specs=pl.BlockSpec((block, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((vp.shape[0], K), W.dtype),
+        interpret=interpret,
     )(vp, ip, W)
     return out[:n]

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import EPS, GraphConfig, KernelType, LaplacianType
 from ..ops.knn import knn
+from ..ops.linalg import pdot
 from ..ops.lae import lae_weights
 from ..types import EigenPair, EllMatrix
 
@@ -93,16 +94,16 @@ def sharded_gpr_nmll_fn(mesh: Mesh, K: int, sigma: float, axis: str = "data"):
         lam_sqrt = jnp.exp(-0.5 * t * lam)
         Vm = vectors_local[:, :K] * mask_local[:, None]
         z = noise + sigma
-        VtV = jax.lax.psum(Vm.T @ Vm, axis)
+        VtV = jax.lax.psum(pdot(Vm.T, Vm), axis)
         Q = lam_sqrt[:, None] * VtV * lam_sqrt[None, :] / z
         Q = Q + jnp.eye(K, dtype=Q.dtype)
         L_Q = jnp.linalg.cholesky(Q)
         Ym = Y_local * mask_local
-        VtY = jax.lax.psum(Vm.T @ Ym, axis)
+        VtY = jax.lax.psum(pdot(Vm.T, Ym[:, None])[:, 0], axis)
         rhs = lam_sqrt * (VtY / z)
         sol = jax.scipy.linalg.cho_solve((L_Q, True), rhs)
         # alpha = (Y - V Λ^{1/2} Q⁻¹ Λ^{1/2} Vᵀ Y / z) / z   (local rows)
-        alpha_local = (Ym - (Vm @ (lam_sqrt * sol))) / z
+        alpha_local = (Ym - pdot(Vm, (lam_sqrt * sol)[:, None])[:, 0]) / z
         quad = jax.lax.psum(jnp.sum(Ym * alpha_local), axis)
         m = jax.lax.psum(jnp.sum(mask_local), axis)
         nmll = 0.5 * quad
@@ -130,15 +131,15 @@ def sharded_predict_fn(mesh: Mesh, K: int, sigma: float, axis: str = "data"):
         w_full = jnp.exp(-t * lam)
         Vm = vectors_local[:, :K] * mask_local[:, None]
         z = noise + sigma
-        VtV = jax.lax.psum(Vm.T @ Vm, axis)
+        VtV = jax.lax.psum(pdot(Vm.T, Vm), axis)
         Q = lam_sqrt[:, None] * VtV * lam_sqrt[None, :] / z
         Q = Q + jnp.eye(K, dtype=Q.dtype)
         L_Q = jnp.linalg.cholesky(Q)
         Ym = Y_local * mask_local
-        VtY = jax.lax.psum(Vm.T @ Ym, axis)
+        VtY = jax.lax.psum(pdot(Vm.T, Ym[:, None])[:, 0], axis)
         sol = jax.scipy.linalg.cho_solve((L_Q, True), lam_sqrt * (VtY / z))
-        Vt_alpha = (VtY - VtV @ (lam_sqrt * sol)) / z
-        pred_local = vectors_local[:, :K] @ (w_full * Vt_alpha)
+        Vt_alpha = (VtY - pdot(VtV, (lam_sqrt * sol)[:, None])[:, 0]) / z
+        pred_local = pdot(vectors_local[:, :K], (w_full * Vt_alpha)[:, None])[:, 0]
         return pred_local
 
     return jax.shard_map(

@@ -15,7 +15,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .config import EPS
+from .config import EPS, PRECISION
 
 
 @jax.tree_util.register_pytree_node_class
@@ -95,7 +95,7 @@ class EllMatrix:
         """
         n = self.shape[0]
         if n <= block:
-            return jnp.einsum("nr,nrk->nk", self.values, W[self.indices])
+            return jnp.einsum("nr,nrk->nk", self.values, W[self.indices], precision=PRECISION)
 
         pad = (-n) % block
         vals = jnp.pad(self.values, ((0, pad), (0, 0)))
@@ -105,10 +105,20 @@ class EllMatrix:
 
         def body(carry, blk):
             v, i = blk
-            return carry, jnp.einsum("nr,nrk->nk", v, W[i])
+            return carry, jnp.einsum("nr,nrk->nk", v, W[i], precision=PRECISION)
 
         _, out = jax.lax.scan(body, None, (vals, idx))
         return out.reshape(-1, out.shape[-1])[:n]
+
+    def rmatmat(self, M: jnp.ndarray) -> jnp.ndarray:
+        """Zᵀ @ M for dense M of shape (n, K): scatter-add of weighted rows.
+
+        The transpose matvec of the large-n GLGP operator (the reference's
+        sparse self-graph is symmetrized as (Z+Zᵀ)/2, src/Fit.cpp:417)."""
+        out = jnp.zeros((self.num_cols, M.shape[1]), dtype=self.values.dtype)
+        return out.at[self.indices.reshape(-1)].add(
+            (self.values[..., None] * M[:, None, :]).reshape(-1, M.shape[1])
+        )
 
     def gram(self, block: int = 2048) -> jnp.ndarray:
         """ZᵀZ as a dense (s, s) matrix.
@@ -131,7 +141,7 @@ class EllMatrix:
             dense = jnp.zeros((block, s), dtype=v.dtype).at[
                 jnp.broadcast_to(rows, i.shape), i
             ].add(v)
-            return acc + dense.T @ dense, None
+            return acc + jnp.matmul(dense.T, dense, precision=PRECISION), None
 
         acc0 = jnp.zeros((s, s), dtype=self.values.dtype)
         out, _ = jax.lax.scan(body, acc0, (vals, idx))

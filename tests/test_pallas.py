@@ -1,0 +1,47 @@
+"""Pallas TPU kernel correctness via the interpreter (runs on CPU).
+
+The same kernels execute compiled on real TPU hardware inside bench.py; these
+tests pin their semantics against the jnp reference paths on every platform.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flgp_tpu.ops import pallas_kernels as pk
+from flgp_tpu.ops.knn import knn
+
+
+@pytest.mark.skipif(not pk._HAVE_PALLAS, reason="pallas unavailable")
+class TestFusedKnn:
+    def test_matches_topk_path(self, rng):
+        n, d, s, r = 96, 5, 40, 3
+        X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        U = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        got = pk.fused_knn(X, U, r, block=32, interpret=True)
+        ref = knn(X, U, r)
+        np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(ref.indices))
+        np.testing.assert_allclose(
+            np.asarray(got.sqdists), np.asarray(ref.sqdists), rtol=1e-4, atol=1e-4
+        )
+
+    def test_padding_rows(self, rng):
+        # n not a multiple of block exercises the pad/slice path
+        n, d, s, r = 50, 3, 16, 2
+        X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        U = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        got = pk.fused_knn(X, U, r, block=32, interpret=True)
+        ref = knn(X, U, r)
+        np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(ref.indices))
+
+
+@pytest.mark.skipif(not pk._HAVE_PALLAS, reason="pallas unavailable")
+class TestEllMatmat:
+    def test_matches_gather_einsum(self, rng):
+        n, s, r, K = 70, 24, 4, 8
+        vals = jnp.asarray(rng.uniform(0.1, 1.0, size=(n, r)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, s, size=(n, r)), jnp.int32)
+        W = jnp.asarray(rng.normal(size=(s, K)), jnp.float32)
+        got = pk.ell_matmat(vals, idx, W, block=32, interpret=True)
+        ref = jnp.einsum("nr,nrk->nk", vals, W[idx])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

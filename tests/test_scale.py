@@ -72,6 +72,51 @@ class TestSparseGraph:
         np.testing.assert_allclose(np.asarray(ev.eigenvalues), w_np, atol=1e-5)
 
 
+class TestGlLobpcgPath:
+    def test_spectrum_matches_dense(self, rng, key):
+        """gl_spectrum_lobpcg must reproduce gl_spectrum_at's eigensystem on
+        the same sparse kNN basis (heat kernels compared, sign-free)."""
+        from flgp_tpu.fit import spectral
+        from flgp_tpu.ops.heat_kernel import heat_kernel
+
+        n, K = 150, 6
+        X = jnp.asarray(rng.normal(size=(n, 3)))
+        basis = spectral.gl_setup(X, sparse=True, threshold=0.05)
+        a2 = jnp.asarray(1.0)
+        dense = spectral.gl_spectrum_at(basis, a2, K)
+        iterative = spectral.gl_spectrum_lobpcg(key, basis, a2, K, iters=120)
+        np.testing.assert_allclose(
+            np.asarray(iterative.values), np.asarray(dense.values), atol=1e-6
+        )
+        idx = jnp.arange(40)
+        H_d = np.asarray(heat_kernel(dense, 2.0, K, idx, idx))
+        H_i = np.asarray(heat_kernel(iterative, 2.0, K, idx, idx))
+        np.testing.assert_allclose(H_i, H_d, atol=5e-5)
+
+    def test_fit_gl_regression_lobpcg(self, rng, key):
+        """End-to-end GLGP regression through the implicit-operator solver."""
+        import flgp_tpu
+        from flgp_tpu import FitConfig, GraphConfig
+
+        m, n_new = 120, 60
+        X = rng.uniform(-2, 2, size=(m, 1))
+        Y = np.sin(2 * X[:, 0]) + 0.05 * rng.normal(size=m)
+        X_new = rng.uniform(-2, 2, size=(n_new, 1))
+        cfg = FitConfig(
+            graph=GraphConfig(s=32, K=16),
+            sigma=1e-5,
+            gl_sparse=True,
+            gl_threshold=0.08,
+            gl_solver="lobpcg",
+            gl_lobpcg_iters=60,
+            a2s=(0.5, 1.0, 2.0),
+            dtype=jnp.float64,
+        )
+        res = flgp_tpu.fit_gl_regression_gp(key, X, Y, X_new, cfg)
+        rmse = float(np.sqrt(np.mean((res.y_test - np.sin(2 * X_new[:, 0])) ** 2)))
+        assert rmse < 0.25, rmse
+
+
 class TestRbfSor:
     def test_fits_smooth_function(self, rng, key):
         m, s, d = 80, 20, 1
