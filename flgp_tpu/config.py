@@ -141,6 +141,11 @@ class FitConfig:
     gl_lobpcg_iters: int = 80
     # prediction
     n_gibbs: int = 100                 # PG Gibbs sweeps (src/PGLogitModel.cpp:48-53)
+    # Rao-Blackwellized prediction: average the collapsed predictor over the
+    # last `gibbs_avg_sweeps` ω states instead of the reference's final-state-
+    # only estimate (one-sample noise: measured ±0.01 torus error).  0 =
+    # exact reference semantics.
+    gibbs_avg_sweeps: int = 50
     output_cov: bool = False
     dtype: jnp.dtype = jnp.float32
     # dtype for the train/predict solve tail (Newton mode-finding, Cholesky,

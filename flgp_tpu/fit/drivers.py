@@ -150,7 +150,9 @@ def _gpc_tail(key, eigenpair: EigenPair, Y, N, m: int, n: int, K: int, cfg: FitC
     Cnn = heat_kernel_diag(eigenpair, t, K, idx1) + cfg.sigma
     post_mean, post_cov = gpc_mod.gpc_posterior_moments(Cvv, Cnv, Cnn, Y)
 
-    label_pred, _ = test_pgbinary(key, Cvv, Y, C, cfg.n_gibbs, N, max_count)
+    label_pred, _ = test_pgbinary(
+        key, Cvv, Y, C, cfg.n_gibbs, N, max_count, avg_sweeps=cfg.gibbs_avg_sweeps
+    )
     out = dict(
         train=label_pred[:m], test=label_pred[m:], mean=post_mean, cov=post_cov
     )

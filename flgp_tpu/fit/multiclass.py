@@ -56,7 +56,7 @@ def _predict_mult(key, eigenpair: EigenPair, aug_y, ts, idx, idx_pred, K: int, c
         Cvv = heat_kernel(eigenpair, t, K, idx, idx)
         Cvv = linalg.add_diag(Cvv, jnp.full((m,), cfg.sigma, Cvv.dtype))
         Cnv = heat_kernel(eigenpair, t, K, idx_pred, idx)
-        _, pi = test_pgbinary(k, Cvv, yj, Cnv, cfg.n_gibbs)
+        _, pi = test_pgbinary(k, Cvv, yj, Cnv, cfg.n_gibbs, avg_sweeps=cfg.gibbs_avg_sweeps)
         return pi
 
     probs = jax.vmap(per_class)(keys, aug_y.T, ts)  # (J, n_pred)

@@ -128,3 +128,39 @@ class TestDiagnostics:
         draws[:, 0, :] += 10.0  # one chain far away
         r = np.asarray(split_rhat(jnp.asarray(draws)))
         assert r[0] > 1.5
+
+
+class TestRaoBlackwellPredictor:
+    def test_avg_zero_is_reference_semantics(self, rng, key):
+        from flgp_tpu.inference import pg_gibbs
+
+        m, n_new = 24, 10
+        A = rng.normal(size=(m, 6))
+        C = jnp.asarray(A @ A.T / 6 + 0.1 * np.eye(m))
+        Y = jnp.asarray((rng.uniform(size=m) > 0.5).astype(float))
+        Cnv = jnp.asarray(rng.normal(size=(n_new, m)) @ np.asarray(C) / m)
+        C_all = jnp.concatenate([C, Cnv], axis=0)
+
+        final, _ = pg_gibbs.pg_gibbs_chain(key, C, Y, 30)
+        pi_ref = pg_gibbs.collapsed_predict(C, C_all, Y, final.omega)
+        _, pi0 = pg_gibbs.test_pgbinary(key, C, Y, C_all, 30, avg_sweeps=0)
+        np.testing.assert_allclose(np.asarray(pi0), np.asarray(pi_ref), atol=1e-12)
+
+    def test_avg_matches_manual_mean(self, rng, key):
+        from flgp_tpu.inference import pg_gibbs
+
+        m = 16
+        A = rng.normal(size=(m, 5))
+        C = jnp.asarray(A @ A.T / 5 + 0.1 * np.eye(m))
+        Y = jnp.asarray((rng.uniform(size=m) > 0.5).astype(float))
+        C_all = jnp.concatenate([C, C[:4]], axis=0)
+
+        S = 8
+        _, _, om_trace = pg_gibbs.pg_gibbs_chain_trace(key, C, Y, 20)
+        pis = np.stack([
+            np.asarray(pg_gibbs.collapsed_predict(C, C_all, Y, om_trace[-S + i]))
+            for i in range(S)
+        ])
+        _, pi = pg_gibbs.test_pgbinary(key, C, Y, C_all, 20, avg_sweeps=S)
+        np.testing.assert_allclose(np.asarray(pi), pis.mean(0), atol=1e-10)
+        assert ((np.asarray(pi) >= 0) & (np.asarray(pi) <= 1)).all()
