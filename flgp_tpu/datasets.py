@@ -55,6 +55,59 @@ def spiral(n: int = 4000, m_train: int = 200, noise_sd: float = 1.0, seed: int =
     return Split(X[tr], y_train, X[te], Y[te])
 
 
+def digits(m_train: int = 300, seed: int = 0) -> Split:
+    """The scikit-learn handwritten-digits set (1797 8×8 images, 10 classes;
+    bundled with sklearn — no download).  Real image-manifold multiclass data
+    for the fit_*_logit_mult drivers; the BASELINE "MNIST-subset" stand-in
+    available without network egress.  Pixels are scaled to [0, 1] and the
+    split is transductive: train labels on ``m_train`` rows, predict the rest.
+    """
+    from sklearn.datasets import load_digits
+
+    data = load_digits()
+    X = data.data.astype(np.float64) / 16.0
+    Y = data.target.astype(np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(Y))
+    tr, te = idx[:m_train], idx[m_train:]
+    return Split(X[tr], Y[tr], X[te], Y[te])
+
+
+def mnist_like(
+    n: int = 70_000,
+    n_classes: int = 10,
+    d: int = 16,
+    d_intrinsic: int = 2,
+    m_train: int = 500,
+    noise_sd: float = 0.05,
+    seed: int = 0,
+) -> Split:
+    """Large-n multiclass manifold data at MNIST scale (n=7e4, 10 classes).
+
+    Each class is a distinct 2-D nonlinear surface (random quadratic
+    embedding of a unit square) in d ambient dims plus isotropic noise —
+    clustered low-intrinsic-dimension structure like image manifolds, which
+    is the regime FLGP's graph-Laplacian prior targets.  Used for the
+    BASELINE n=7e4 multiclass config where real MNIST is unavailable offline.
+    """
+    rng = np.random.default_rng(seed)
+    n_each = n // n_classes
+    X = np.empty((n_each * n_classes, d))
+    Y = np.repeat(np.arange(n_classes), n_each).astype(float)
+    for j in range(n_classes):
+        u = rng.uniform(-1.0, 1.0, size=(n_each, d_intrinsic))
+        # random affine + quadratic lift, distinct per class
+        A = rng.normal(0.0, 1.0, size=(d_intrinsic, d))
+        B = rng.normal(0.0, 0.5, size=(d_intrinsic, d))
+        c = rng.normal(0.0, 2.0, size=(d,))
+        X[j * n_each:(j + 1) * n_each] = u @ A + (u**2) @ B + c
+    X += rng.normal(0.0, noise_sd, size=X.shape)
+    X = (X - X.mean(0)) / X.std(0, ddof=1) / np.sqrt(d)
+    idx = rng.permutation(len(Y))
+    tr, te = idx[:m_train], idx[m_train:]
+    return Split(X[tr], Y[tr], X[te], Y[te])
+
+
 def gaussian_blobs(
     n_per_class: int = 50, n_classes: int = 3, d: int = 3, sep: float = 5.0, seed: int = 0
 ) -> Split:

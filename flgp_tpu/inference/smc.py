@@ -49,13 +49,21 @@ def run_smc(
     target_ess_frac: float = 0.5,
     max_stages: int = 50,
     step_size: float = 0.1,
+    mutation: str = "hmc",
 ) -> SmcResult:
     """Temper from the prior to prior·likelihood.
 
-    x0: (n_particles, dim) draws from the prior.  The per-stage HMC mutation
+    x0: (n_particles, dim) draws from the prior.  The per-stage mutation
     targets log_prior + β·log_like with a shared step size rescaled by the
     acceptance statistics of the previous stage.
+
+    mutation: "hmc" (gradient-based; requires log_like to be reverse-mode
+    differentiable) or "rwm" (Gaussian random-walk Metropolis — for targets
+    whose likelihood runs through non-differentiable solvers, e.g. the
+    Laplace-approximate GPC marginal's Newton ``while_loop``).
     """
+    if mutation not in ("hmc", "rwm"):
+        raise ValueError(f"unknown mutation kernel {mutation!r}")
     n, dim = x0.shape
     dtype = x0.dtype
 
@@ -110,25 +118,53 @@ def run_smc(
 
         target = tempered(beta_new)
 
-        def mutate(k, x):
-            state = init_state(target, x)
+        if mutation == "hmc":
 
-            def body(carry, kk):
-                s, _ = carry
-                s, ap = hmc_kernel(
-                    target, kk, s, st.step, jnp.ones((dim,), dtype), n_leapfrog
+            def mutate(k, x):
+                state = init_state(target, x)
+
+                def body(carry, kk):
+                    s, _ = carry
+                    s, ap = hmc_kernel(
+                        target, kk, s, st.step, jnp.ones((dim,), dtype), n_leapfrog
+                    )
+                    return (s, ap), None
+
+                (state, ap), _ = jax.lax.scan(
+                    body, (state, jnp.asarray(1.0, dtype)), jax.random.split(k, n_mutation_steps)
                 )
-                return (s, ap), None
+                return state.x, ap
 
-            (state, ap), _ = jax.lax.scan(
-                body, (state, jnp.asarray(1.0, dtype)), jax.random.split(k, n_mutation_steps)
-            )
-            return state.x, ap
+            accept_target = 0.65
+        else:  # rwm
+
+            def mutate(k, x):
+                lp = target(x)
+
+                def body(carry, kk):
+                    x, lp, _ = carry
+                    k_prop, k_acc = jax.random.split(kk)
+                    prop = x + st.step * jax.random.normal(k_prop, (dim,), dtype)
+                    lp_prop = target(prop)
+                    log_u = jnp.log(jax.random.uniform(k_acc, (), dtype))
+                    ap = jnp.minimum(1.0, jnp.exp(lp_prop - lp))
+                    take = log_u < lp_prop - lp
+                    x = jnp.where(take, prop, x)
+                    lp = jnp.where(take, lp_prop, lp)
+                    return (x, lp, ap), None
+
+                (x, _, ap), _ = jax.lax.scan(
+                    body, (x, lp, jnp.asarray(1.0, dtype)),
+                    jax.random.split(k, n_mutation_steps),
+                )
+                return x, ap
+
+            accept_target = 0.3
 
         xs, aps = jax.vmap(mutate)(jax.random.split(k_mut, n), particles)
         mean_ap = jnp.mean(aps)
-        # crude step-size controller toward ~0.65 acceptance
-        step = st.step * jnp.exp(1.0 * (mean_ap - 0.65))
+        # crude step-size controller toward the kernel's target acceptance
+        step = st.step * jnp.exp(1.0 * (mean_ap - accept_target))
         temps = st.temps.at[st.stage].set(beta_new)
         return State(key, xs, beta_new, log_Z, st.stage + 1, step, temps)
 

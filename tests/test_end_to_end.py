@@ -121,6 +121,63 @@ class TestMulticlass:
         assert _err(res.y_test, data.y_test) < 0.15
 
 
+class TestDigits:
+    """Real-image-manifold multiclass: the sklearn 8×8 digits set (bundled,
+    offline) standing in for the BASELINE MNIST-subset config."""
+
+    def test_lae_mult_digits(self):
+        from flgp_tpu.datasets import digits
+
+        dg = digits(m_train=250, seed=0)
+        cfg = FitConfig(
+            graph=GraphConfig(s=250, r=3, K=60), train=CFG_TRAIN,
+            sigma=1e-3, dtype=jnp.float64,
+        )
+        res = flgp_tpu.fit_lae_logit_mult_gp(
+            KEY, dg.x_train, dg.y_train, dg.x_test, cfg=cfg
+        )
+        assert _err(res.y_test, dg.y_test) < 0.12
+
+    def test_smc_t_posterior_on_digits_spectrum(self):
+        """SMC over per-class log t on the digits spectral basis (BASELINE
+        config 3 at test scale)."""
+        from flgp_tpu.datasets import digits
+        from flgp_tpu.fit.multiclass import one_hot_labels
+        from flgp_tpu.fit.spectral import build_spectrum
+        from flgp_tpu.inference.hyperparam import mult_t_posterior
+
+        dg = digits(m_train=200, seed=0)
+        cfg = FitConfig(
+            graph=GraphConfig(s=200, r=3, K=50), sigma=1e-3, dtype=jnp.float64
+        )
+        X_all = jnp.concatenate(
+            [jnp.asarray(dg.x_train, jnp.float64), jnp.asarray(dg.x_test, jnp.float64)]
+        )
+        eig, _ = build_spectrum(KEY, X_all, cfg.graph)
+        aug = one_hot_labels(jnp.asarray(dg.y_train), 10)
+        post = mult_t_posterior(
+            jax.random.PRNGKey(3), eig, aug, jnp.arange(200), 50, 1e-3,
+            n_particles=24, n_mutation_steps=3,
+        )
+        assert post.t_mean.shape == (10,)
+        assert np.isfinite(float(post.log_evidence))
+        assert (np.asarray(post.t) > 0).all()
+
+
+class TestMnistLike:
+    def test_generator_structure(self):
+        from flgp_tpu.datasets import mnist_like
+
+        data = mnist_like(n=2000, m_train=100, seed=0)
+        assert data.x_train.shape == (100, 16)
+        assert data.x_test.shape == (1900, 16)
+        labels = np.concatenate([data.y_train, data.y_test])
+        assert set(np.unique(labels)) == set(range(10))
+        # standardized ambient coordinates
+        X = np.concatenate([data.x_train, data.x_test])
+        np.testing.assert_allclose(X.mean(0), 0.0, atol=1e-8)
+
+
 class TestExtras:
     def test_heat_kernel_covariance_psd(self):
         rng = np.random.default_rng(0)

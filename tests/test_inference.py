@@ -115,6 +115,93 @@ class TestSmc:
             np.asarray(res.particles).mean(0), post_mean, atol=0.15
         )
 
+    def test_rwm_mutation_gaussian_evidence(self):
+        """Same analytic target, gradient-free RWM mutations."""
+        mu = np.array([0.5, -0.5])
+        s2 = 0.5**2
+
+        def log_prior(x):
+            return -0.5 * jnp.sum(x * x) - 0.5 * 2 * jnp.log(2 * jnp.pi)
+
+        def log_like(x):
+            return -0.5 * jnp.sum((x - mu) ** 2) / s2 - 0.5 * 2 * jnp.log(2 * jnp.pi * s2)
+
+        var = 1.0 + s2
+        logZ = np.sum(-0.5 * np.log(2 * np.pi * var) - 0.5 * mu**2 / var)
+        x0 = jax.random.normal(jax.random.PRNGKey(2), (512, 2))
+        res = run_smc(
+            jax.random.PRNGKey(3), log_prior, log_like, x0,
+            n_mutation_steps=10, mutation="rwm", step_size=0.5,
+        )
+        np.testing.assert_allclose(float(res.log_evidence), logZ, atol=0.2)
+        post_mean = mu / s2 / (1 + 1 / s2)
+        np.testing.assert_allclose(
+            np.asarray(res.particles).mean(0), post_mean, atol=0.15
+        )
+
+    def test_rejects_unknown_mutation(self):
+        with pytest.raises(ValueError):
+            run_smc(
+                jax.random.PRNGKey(0), lambda x: 0.0, lambda x: 0.0,
+                jnp.zeros((4, 1)), mutation="nope",
+            )
+
+
+class TestHyperparamSmc:
+    """SMC posterior over log t against the Laplace GPC marginal."""
+
+    def _toy_eigenpair(self, rng, n=60, K=12):
+        from flgp_tpu.types import EigenPair
+
+        Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        vectors = jnp.asarray(Q[:, :K] * np.sqrt(n))
+        # eigenvalues of W in (0, 1], descending — Laplacian evals 1-λ ascending
+        values = jnp.asarray(np.sort(rng.uniform(0.2, 1.0, K))[::-1].copy())
+        return EigenPair(values, vectors)
+
+    def test_binary_concentrates_near_grid_optimum(self, rng, key):
+        from flgp_tpu.inference.hyperparam import gpc_t_posterior
+        from flgp_tpu.models.gpc import gpc_nlp_objective
+
+        eig = self._toy_eigenpair(rng)
+        m, K, sigma = 40, 12, 1e-3
+        idx = jnp.arange(m)
+        # labels generated from a draw at a known t so the posterior is informative
+        from flgp_tpu.models.latent import WhitenedGP, latent_f, make_whitened
+
+        gp = make_whitened(eig, idx, K, sigma)
+        f = latent_f(gp, jnp.asarray(rng.normal(size=K)), 3.0)
+        Y = (jax.nn.sigmoid(f) > 0.5).astype(eig.vectors.dtype)
+
+        post = gpc_t_posterior(key, eig, Y, idx, K, sigma, n_particles=128)
+        assert np.isfinite(float(post.log_evidence))
+        t_mean = float(post.t_mean)
+        assert 1e-2 < t_mean < 1e3
+
+        # the posterior mass should sit near the 1-D grid optimum of the
+        # reference "posterior" objective (same density up to normalization)
+        ts = np.exp(np.linspace(-2, 5, 60))
+        objs = [float(gpc_nlp_objective(eig, Y, jnp.ones((m,)), idx, K, t, sigma)) for t in ts]
+        t_star = ts[int(np.argmin(objs))]
+        assert abs(np.log(t_mean) - np.log(t_star)) < 1.5
+
+    def test_multiclass_shapes_and_finite(self, rng, key):
+        from flgp_tpu.fit.multiclass import one_hot_labels
+        from flgp_tpu.inference.hyperparam import mult_t_posterior
+
+        eig = self._toy_eigenpair(rng)
+        m, K, J = 30, 12, 3
+        labels = jnp.asarray(rng.integers(0, J, size=m))
+        aug = one_hot_labels(labels, J)
+        post = mult_t_posterior(
+            key, eig, aug, jnp.arange(m), K, 1e-3, n_particles=32,
+            n_mutation_steps=3,
+        )
+        assert post.t.shape == (32, J)
+        assert post.t_mean.shape == (J,)
+        assert np.isfinite(float(post.log_evidence))
+        assert (np.asarray(post.t) > 0).all()
+
 
 class TestDiagnostics:
     def test_ess_iid(self):
