@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..inference.hmc import HmcRun, run_hmc
+from ..inference.nuts import NutsRun, run_nuts
 
 
 def sharded_hmc_fn(
@@ -48,6 +49,41 @@ def sharded_hmc_fn(
         out_specs=HmcRun(
             P(None, axis), P(None, axis), P(axis), P(axis)
         ),
+        check_vma=False,
+    )
+
+
+def sharded_nuts_fn(
+    mesh: Mesh,
+    logprob: Callable[[jnp.ndarray], jnp.ndarray],
+    n_warmup: int,
+    n_samples: int,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    axis: str = "chain",
+):
+    """Chain-sharded NUTS: fn(keys (C, 2), x0 (C, dim)) → NutsRun with the
+    chain axis sharded over ``axis``.  Like HMC, chains are independent —
+    warmup adaptation (dual averaging + diagonal mass) is per-chain, so the
+    hot loop has zero collectives; pool results with
+    :func:`pooled_mean_variance` / ``inference.diagnostics`` afterwards."""
+
+    def fn(keys_local, x0_local):
+        return run_nuts(
+            keys_local[0, 0],
+            logprob,
+            x0_local,
+            n_warmup=n_warmup,
+            n_samples=n_samples,
+            max_depth=max_depth,
+            target_accept=target_accept,
+        )
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=NutsRun(P(None, axis), P(None, axis), P(axis), P(axis)),
         check_vma=False,
     )
 
