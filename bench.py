@@ -11,9 +11,19 @@ as extra fields.
 """
 
 import json
+import sys
 import time
 
 import jax
+
+# Persistent compile cache: compiles dominate wall-clock over the axon
+# tunnel; cached reruns skip them entirely.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _mark(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 # Precision policy (measured on v5e): everything runs f32 with
 # Precision.HIGHEST-pinned contractions; GPC prediction uses the
@@ -45,7 +55,9 @@ def main():
             key, torus.x_train, torus.y_train, torus.x_test, cfg=cfg
         )
 
+    _mark("torus: compiling")
     res = run_torus()  # compile + warm caches
+    _mark("torus: compiled, timing")
     t0 = time.perf_counter()
     res = run_torus()
     torus_fit_s = time.perf_counter() - t0
@@ -58,7 +70,9 @@ def main():
     def run_spiral():
         return flgp_tpu.fit_lae_regression_gp(key, sp.x_train, sp.y_train, sp.x_test, cfg_r)
 
+    _mark("spiral: compiling")
     res_sp = run_spiral()
+    _mark("spiral: compiled, timing")
     t0 = time.perf_counter()
     res_sp = run_spiral()
     spiral_fit_s = time.perf_counter() - t0
@@ -85,8 +99,10 @@ def main():
     hmc = jax.jit(
         lambda k, x: run_hmc(k, logpost, x, n_warmup=256, n_samples=n_samp, n_leapfrog=16)
     )
+    _mark("hmc: compiling")
     run = hmc(jax.random.PRNGKey(2), x0)
     jax.block_until_ready(run.samples)
+    _mark("hmc: compiled, timing")
     t0 = time.perf_counter()
     run = hmc(jax.random.PRNGKey(3), x0)
     jax.block_until_ready(run.samples)
@@ -119,8 +135,10 @@ def main():
         Z = _norm(Z, LaplacianType.NORMALIZED, None)
         return _spec(Z, K_big, True)
 
+    _mark("spectral1e6: compiling")
     eig_big = spectral_stage(X_big, U_big)
     jax.block_until_ready(eig_big.vectors)
+    _mark("spectral1e6: compiled, timing")
     t0 = time.perf_counter()
     eig_big = spectral_stage(X_big, U_big)
     jax.block_until_ready(eig_big.vectors)

@@ -87,6 +87,35 @@ class GraphConfig:
     kmeans_iters: int = 100           # Lloyd iterations (src/Utils.cpp:41)
     epsilon: float = 0.1              # SE bandwidth for covariance-only entry point
 
+    def __post_init__(self):
+        # Eager validation: the reference aborts deep inside C++ on bad
+        # config strings (src/Utils.cpp:64,123); here misconfiguration is a
+        # construction-time ValueError with the offending field named.
+        if self.s < 1:
+            raise ValueError(f"GraphConfig.s must be >= 1, got {self.s}")
+        if self.r < 1:
+            raise ValueError(f"GraphConfig.r must be >= 1, got {self.r}")
+        if self.r > self.s:
+            raise ValueError(
+                f"GraphConfig.r ({self.r}) cannot exceed the anchor count s ({self.s})"
+            )
+        if self.K != -1 and not 1 <= self.K <= self.s:
+            raise ValueError(
+                f"GraphConfig.K must be -1 (=> s) or in [1, s={self.s}], got {self.K}"
+            )
+        if self.nstart < 1:
+            raise ValueError(f"GraphConfig.nstart must be >= 1, got {self.nstart}")
+        if self.epsilon <= 0:
+            raise ValueError(f"GraphConfig.epsilon must be > 0, got {self.epsilon}")
+        # Coerce raw strings ("kmeans", "lae", "rw") to the enums so the
+        # reference's stringly-typed call sites translate one-for-one.
+        for field, enum_t in (
+            ("subsample", Subsample), ("kernel", KernelType), ("gl", LaplacianType)
+        ):
+            v = getattr(self, field)
+            if not isinstance(v, enum_t):
+                object.__setattr__(self, field, enum_t(v))
+
     def resolved_K(self) -> int:
         return self.s if self.K < 0 else self.K
 
@@ -123,6 +152,18 @@ class TrainConfig:
     newton_tol: float = 1e-5
     newton_max_iter: int = 100
 
+    def __post_init__(self):
+        if self.t0 <= 0 or self.t_lb <= 0:
+            raise ValueError("TrainConfig.t0 and t_lb must be > 0")
+        if self.noise0 <= 0 or self.noise_lb <= 0:
+            raise ValueError("TrainConfig.noise0 and noise_lb must be > 0")
+        if self.grid_size < 2:
+            raise ValueError(f"TrainConfig.grid_size must be >= 2, got {self.grid_size}")
+        for field, enum_t in (("approach", Approach), ("noise", NoiseModel)):
+            v = getattr(self, field)
+            if not isinstance(v, enum_t):
+                object.__setattr__(self, field, enum_t(v))
+
 
 @dataclasses.dataclass(frozen=True)
 class FitConfig:
@@ -155,6 +196,27 @@ class FitConfig:
     # with an f64 tail, at unchanged wall-clock (the tail matrices are m×m).
     # Requires jax_enable_x64 when set to float64.
     solve_dtype: Optional[jnp.dtype] = None
+
+    def __post_init__(self):
+        if self.sigma < 0:
+            raise ValueError(f"FitConfig.sigma must be >= 0, got {self.sigma}")
+        if self.gl_solver not in ("dense", "lobpcg"):
+            raise ValueError(
+                f"FitConfig.gl_solver must be 'dense' or 'lobpcg', got {self.gl_solver!r}"
+            )
+        if self.gl_solver == "lobpcg" and not self.gl_sparse:
+            raise ValueError("FitConfig.gl_solver='lobpcg' requires gl_sparse=True")
+        if not 0.0 < self.gl_threshold <= 1.0:
+            raise ValueError(
+                f"FitConfig.gl_threshold must be in (0, 1], got {self.gl_threshold}"
+            )
+        if self.n_gibbs < 1:
+            raise ValueError(f"FitConfig.n_gibbs must be >= 1, got {self.n_gibbs}")
+        if not 0 <= self.gibbs_avg_sweeps <= self.n_gibbs:
+            raise ValueError(
+                "FitConfig.gibbs_avg_sweeps must be in [0, n_gibbs="
+                f"{self.n_gibbs}], got {self.gibbs_avg_sweeps}"
+            )
 
 
 def default_a2s() -> jnp.ndarray:
