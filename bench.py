@@ -11,6 +11,7 @@ as extra fields.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -18,7 +19,8 @@ import jax
 
 # Persistent compile cache: compiles dominate wall-clock over the axon
 # tunnel; cached reruns skip them entirely.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

@@ -99,9 +99,12 @@ class GraphConfig:
             raise ValueError(
                 f"GraphConfig.r ({self.r}) cannot exceed the anchor count s ({self.s})"
             )
-        if self.K != -1 and not 1 <= self.K <= self.s:
+        # K is NOT coupled to s here: anchor-based builders clamp K <= s at
+        # the call site, while GL drivers bound K by n (the reference's
+        # fit_gl_* take K independent of any anchor count, src/Fit.cpp:361).
+        if self.K != -1 and self.K < 1:
             raise ValueError(
-                f"GraphConfig.K must be -1 (=> s) or in [1, s={self.s}], got {self.K}"
+                f"GraphConfig.K must be -1 (=> s) or >= 1, got {self.K}"
             )
         if self.nstart < 1:
             raise ValueError(f"GraphConfig.nstart must be >= 1, got {self.nstart}")
@@ -134,6 +137,7 @@ class TrainConfig:
     noise: NoiseModel = NoiseModel.SAME
     t0: float = 10.0
     t_lb: float = 1e-3                 # src/train.cpp lb for t
+    t_ub: float = 1e4                  # grid-scan upper bound (COBYLA is unbounded above)
     noise0: float = 1.0
     noise_lb: float = 1e-4             # src/train.cpp lb for noise
     # t-prior  p*log t + (t/tau)^(-q)   (src/train.h:136-156)
@@ -155,6 +159,10 @@ class TrainConfig:
     def __post_init__(self):
         if self.t0 <= 0 or self.t_lb <= 0:
             raise ValueError("TrainConfig.t0 and t_lb must be > 0")
+        if self.t_ub <= self.t_lb:
+            raise ValueError(
+                f"TrainConfig.t_ub ({self.t_ub}) must exceed t_lb ({self.t_lb})"
+            )
         if self.noise0 <= 0 or self.noise_lb <= 0:
             raise ValueError("TrainConfig.noise0 and noise_lb must be > 0")
         if self.grid_size < 2:

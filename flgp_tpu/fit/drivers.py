@@ -117,7 +117,7 @@ def _train_gpc(eigenpair: EigenPair, Y, N, idx, K: int, cfg: FitConfig):
             tol=tc.newton_tol, max_iter=tc.newton_max_iter,
         )
 
-    return minimize_1d_log(fn, lo=1e-3, hi=1e4, n_grid=tc.grid_size, dtype=cfg.dtype)
+    return minimize_1d_log(fn, lo=tc.t_lb, hi=tc.t_ub, n_grid=tc.grid_size, dtype=cfg.dtype)
 
 
 def _gpr_tail(eigenpair: EigenPair, Y, m: int, n: int, K: int, cfg: FitConfig, t, noise):
@@ -200,7 +200,7 @@ def _select(tree, i):
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n"))
 def _lae_regression_impl(key, X_all, Y, cfg: FitConfig, m: int, n: int):
     g = dataclasses.replace(cfg.graph, kernel=KernelType.LAE)
-    K = min(g.resolved_K(), n)
+    K = min(g.resolved_K(), g.s, n)
     eig, _ = spectral.build_spectrum(key, X_all, g)
     scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
     res = _train_gpr(seig, Ys, jnp.arange(m), K, scfg)
@@ -220,7 +220,7 @@ def fit_lae_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "max_count"))
 def _lae_logit_impl(key, X_all, Y, N, cfg: FitConfig, m: int, n: int, max_count: int):
     g = dataclasses.replace(cfg.graph, kernel=KernelType.LAE)
-    K = min(g.resolved_K(), n)
+    K = min(g.resolved_K(), g.s, n)
     k_spec, k_pg = jax.random.split(key)
     eig, _ = spectral.build_spectrum(k_spec, X_all, g)
     scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
@@ -251,7 +251,7 @@ def fit_lae_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig()) -> 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n"))
 def _se_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
     g = cfg.graph
-    K = min(g.resolved_K(), n)
+    K = min(g.resolved_K(), g.s, n)
     basis = spectral.se_grid_setup(key, X_all, g)
     idx = jnp.arange(m)
 
@@ -282,7 +282,7 @@ def fit_se_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "max_count"))
 def _se_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, max_count: int):
     g = cfg.graph
-    K = min(g.resolved_K(), n)
+    K = min(g.resolved_K(), g.s, n)
     k_spec, k_pg = jax.random.split(key)
     basis = spectral.se_grid_setup(k_spec, X_all, g)
     idx = jnp.arange(m)
@@ -420,7 +420,7 @@ def _gl_spectrum(key, basis, a2, K: int, cfg: FitConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n"))
 def _gl_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
-    K = cfg.graph.K if cfg.graph.K > 0 else min(cfg.graph.s, n)
+    K = min(cfg.graph.K, n) if cfg.graph.K > 0 else min(cfg.graph.s, n)
     basis = spectral.gl_setup(X_all, cfg.gl_sparse, cfg.gl_threshold)
     idx = jnp.arange(m)
 
@@ -451,7 +451,7 @@ def fit_gl_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "max_count"))
 def _gl_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, max_count: int):
-    K = cfg.graph.K if cfg.graph.K > 0 else min(cfg.graph.s, n)
+    K = min(cfg.graph.K, n) if cfg.graph.K > 0 else min(cfg.graph.s, n)
     basis = spectral.gl_setup(X_all, cfg.gl_sparse, cfg.gl_threshold)
     idx = jnp.arange(m)
     k_spec, k_pg = jax.random.split(key)

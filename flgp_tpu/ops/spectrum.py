@@ -73,14 +73,3 @@ def spectrum_from_Z(Z: EllMatrix, K: int, root: bool) -> EigenPair:
     return EigenPair(values, vectors)
 
 
-def spectrum_from_dense_W(W: jnp.ndarray, K: int, n_scale: int | None = None) -> EigenPair:
-    """Top-K eigenpairs of a dense symmetric W, vectors rescaled to column
-    norm √n after a D^(-1/2) transform applied by the caller.
-
-    Used by the Nyström and GLGP basis builders (src/Fit.cpp:262-291,
-    410-448) which call RSpectra::eigs_sym in the reference.
-    """
-    w, V = jnp.linalg.eigh(W)
-    w = w[::-1][:K]
-    V = V[:, ::-1][:, :K]
-    return EigenPair(w, V)

@@ -27,7 +27,7 @@ class TestGraphConfig:
 
     @pytest.mark.parametrize(
         "kw",
-        [dict(s=0), dict(r=0), dict(s=4, r=5), dict(K=0), dict(s=10, K=11),
+        [dict(s=0), dict(r=0), dict(s=4, r=5), dict(K=0),
          dict(nstart=0), dict(epsilon=0.0)],
     )
     def test_bad_scalars(self, kw):
@@ -38,14 +38,22 @@ class TestGraphConfig:
         assert GraphConfig(s=7).resolved_K() == 7
         assert GraphConfig(s=7, K=3).resolved_K() == 3
 
+    def test_K_decoupled_from_s(self):
+        # GL drivers take K independent of the anchor count s
+        # (reference fit_gl_*_cpp); anchor-based builders clamp at call site.
+        assert GraphConfig(s=10, K=800).K == 800
+
 
 class TestTrainConfig:
     def test_string_coercion(self):
         tc = TrainConfig(approach="marginal", noise="different")
         assert tc.approach is Approach.MARGINAL
+        from flgp_tpu import NoiseModel
+        assert tc.noise is NoiseModel.DIFFERENT
 
     @pytest.mark.parametrize(
-        "kw", [dict(t0=0.0), dict(noise_lb=0.0), dict(grid_size=1)]
+        "kw", [dict(t0=0.0), dict(noise_lb=0.0), dict(grid_size=1),
+               dict(t_lb=10.0, t_ub=1.0)]
     )
     def test_bad_scalars(self, kw):
         with pytest.raises(ValueError):
