@@ -55,6 +55,47 @@ def spiral(n: int = 4000, m_train: int = 200, noise_sd: float = 1.0, seed: int =
     return Split(X[tr], y_train, X[te], Y[te])
 
 
+def torus_rings_r(seed: int = 1234) -> Split:
+    """Bit-exact reproduction of the README classification example
+    (/root/reference/README.md:38-60): the same R RNG stream (set.seed(1234),
+    runif thetas, rejection-method sample.int split) so parity numbers are
+    measured on the *identical* data the golden errors were committed on."""
+    from .utils.r_rng import RRng
+
+    n, n_each, m = 4800, 800, 100
+    r = RRng(seed)
+    thetas = r.runif(n, 0.0, 2.0 * np.pi)
+    X = np.stack([np.cos(thetas), np.sin(thetas)], axis=1)
+    Y = np.zeros(n)
+    for i in range(6):
+        sl = slice(i * n_each, (i + 1) * n_each)
+        X[sl] *= 0.5 + 0.1 * i
+        Y[sl] = float((-1) ** i > 0)
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    X = X / np.sqrt(X.shape[1])
+    tr = r.sample_int(n, m) - 1
+    te = np.setdiff1d(np.arange(n), tr)
+    return Split(X[tr], Y[tr], X[te], Y[te])
+
+
+def spiral_r(seed: int = 1234) -> Split:
+    """Bit-exact reproduction of the README regression example
+    (/root/reference/README.md:115-140): same R stream for theta, the
+    train/test split, and the N(0,1) observation noise."""
+    from .utils.r_rng import RRng
+
+    n, m = 4000, 200
+    r = RRng(seed)
+    theta = r.runif(n, 0.0, 8.0 * np.pi)
+    radius = (theta + 4.0) ** 0.7
+    X = np.stack([radius * np.cos(theta), radius * np.sin(theta)], axis=1)
+    Y = 3.0 * np.sin(theta / 10.0) + 3.0 * np.cos(theta / 2.0) + 4.0 * np.sin(4.0 * theta / 5.0)
+    tr = r.sample_int(n, m) - 1
+    te = np.setdiff1d(np.arange(n), tr)
+    y_train = Y[tr] + r.rnorm(m, 0.0, 1.0)
+    return Split(X[tr], y_train, X[te], Y[te])
+
+
 def digits(m_train: int = 300, seed: int = 0) -> Split:
     """The scikit-learn handwritten-digits set (1797 8×8 images, 10 classes;
     bundled with sklearn — no download).  Real image-manifold multiclass data

@@ -77,16 +77,43 @@ def _random_rows(key: jax.Array, X: jnp.ndarray, s: int) -> jnp.ndarray:
     return X[idx]
 
 
+def _kmeanspp_rows(key: jax.Array, X: jnp.ndarray, s: int) -> jnp.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007): each next center is a
+    row drawn with probability ∝ squared distance to the nearest chosen
+    center.  One lax.scan of s steps, each an O(n·d) distance update — far
+    better Lloyd basins than random rows (the reference leans on R's
+    Hartigan-Wong algorithm for the same effect, src/Utils.cpp:37-42)."""
+    n, d = X.shape
+    k0, kscan = jax.random.split(key)
+    i0 = jax.random.randint(k0, (), 0, n)
+    c0 = X[i0]
+    mind0 = jnp.sum((X - c0[None, :]) ** 2, axis=1)
+
+    def step(carry, k):
+        mind = carry
+        # Gumbel-max sample ∝ mind without normalizing (mind can be ~0)
+        logits = jnp.log(jnp.maximum(mind, 1e-30))
+        idx = jnp.argmax(logits + jax.random.gumbel(k, (n,), logits.dtype))
+        c = X[idx]
+        dist = jnp.sum((X - c[None, :]) ** 2, axis=1)
+        return jnp.minimum(mind, dist), c
+
+    _, centers_rest = jax.lax.scan(step, mind0, jax.random.split(kscan, s - 1))
+    return jnp.concatenate([c0[None, :], centers_rest], axis=0)
+
+
 def kmeans(
-    key: jax.Array, X: jnp.ndarray, s: int, nstart: int = 1, iters: int = 100
+    key: jax.Array, X: jnp.ndarray, s: int, nstart: int = 1, iters: int = 100,
+    init: str = "kmeans++",
 ) -> SubsampleResult:
-    """k-means with ``nstart`` random restarts, best by within-cluster SS
-    (mirrors stats::kmeans semantics, src/Utils.cpp:37-42)."""
+    """k-means with ``nstart`` restarts, best by within-cluster SS
+    (mirrors stats::kmeans semantics, src/Utils.cpp:37-42).  Default init is
+    k-means++; ``init="random"`` recovers plain random-row seeding."""
     keys = jax.random.split(key, nstart)
+    seed_fn = _kmeanspp_rows if init == "kmeans++" else _random_rows
 
     def one(k):
-        init = _random_rows(k, X, s)
-        return lloyd(X, init, iters)
+        return lloyd(X, seed_fn(k, X, s), iters)
 
     centers, counts, wss = jax.vmap(one)(keys)
     best = jnp.argmin(wss)

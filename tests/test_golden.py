@@ -1,0 +1,72 @@
+"""Full-config golden-parity tests on the reference's exact data splits.
+
+These gate the README golden numbers (/root/reference/README.md:88-94,
+163-170) in CI, per PARITY.md: torus via the bit-exact R-stream datasets at
+the committed configs.  Slow (full n=4800/4000 pipelines) but compile-cached.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flgp_tpu
+from flgp_tpu import FitConfig, GraphConfig
+from flgp_tpu.datasets import spiral_r, torus_rings_r
+
+pytestmark = pytest.mark.slow
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def torus():
+    return torus_rings_r()
+
+
+@pytest.fixture(scope="module")
+def spiral_ds():
+    return spiral_r()
+
+
+class TestTorusGoldens:
+    CFG = FitConfig(graph=GraphConfig(s=600, r=3, K=100), sigma=1e-3, dtype=jnp.float64)
+
+    def test_lae_logit_beats_golden(self, torus):
+        res = flgp_tpu.fit_lae_logit_gp(
+            KEY, torus.x_train, torus.y_train, torus.x_test, cfg=self.CFG
+        )
+        err = float(np.mean(res.y_test != torus.y_test))
+        # golden 0.02702 (README.md:109); k-means++ anchors give 0.0 on all
+        # tested seeds — gate well below the golden
+        assert err <= 0.015
+
+    def test_se_logit_matches_golden_zero(self, torus):
+        res = flgp_tpu.fit_se_logit_gp(
+            KEY, torus.x_train, torus.y_train, torus.x_test, cfg=self.CFG
+        )
+        err = float(np.mean(res.y_test != torus.y_test))
+        # golden 0.0 (README.md:94)
+        assert err <= 0.005
+
+
+class TestSpiralGoldens:
+    CFG = FitConfig(graph=GraphConfig(s=500, r=3, K=100), sigma=1e-5, dtype=jnp.float64)
+
+    def test_lae_regression_within_seed_noise(self, spiral_ds):
+        res = flgp_tpu.fit_lae_regression_gp(
+            KEY, spiral_ds.x_train, spiral_ds.y_train, spiral_ds.x_test, self.CFG
+        )
+        rmse = float(np.sqrt(np.mean((res.y_test - spiral_ds.y_test) ** 2)))
+        # golden 0.4582 (README.md:169) is a single anchor draw; the seed
+        # distribution at this config is [0.448, 0.601] (PARITY.md) — gate
+        # the top of the k-means++ band
+        assert rmse <= 0.60
+
+    def test_se_regression_beats_golden(self, spiral_ds):
+        res = flgp_tpu.fit_se_regression_gp(
+            KEY, spiral_ds.x_train, spiral_ds.y_train, spiral_ds.x_test, self.CFG
+        )
+        rmse = float(np.sqrt(np.mean((res.y_test - spiral_ds.y_test) ** 2)))
+        # golden 0.5032 (README.md:149)
+        assert rmse <= 0.5032
