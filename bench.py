@@ -1,25 +1,32 @@
 """Benchmark harness: README-parity goldens + throughput on real hardware.
 
-Headline metric: wall-clock of the flagship LKFLGP fit (binary GPC with LAE
-kernel) on the README torus benchmark — n=4800, m=100, s=600, r=3, K=100 —
-against the reference's committed 3.97 s single-CPU number
-(/root/reference/README.md:106, BASELINE.md).  Steady-state timing: the jitted
-pipeline is compiled on a first call, then timed.
+Covers every BASELINE.json config:
+  1/2. README goldens on the reference's exact R-stream splits (PARITY.md) —
+       torus GPC (LAE + SE kernels), spiral GPR (LAE + SE), plus a seed sweep
+       for the anchor-draw distribution.
+  3.   Multiclass (one-vs-rest) GPC at n=7e4 with an SMC posterior over the
+       per-class diffusion times.
+  4.   Kernel ablation at n=1e5 — LAE vs SE vs Nyström — with NUTS over
+       (u, t, noise), chains vmapped on the chip.
+  5.   (proxy) samples/s scaling efficiency 1→8 devices on a virtual CPU
+       mesh, run in a subprocess; plus the n=1e6/1e7 spectral-stage numbers.
 
-Prints ONE JSON line with the headline metric; parity/secondary numbers ride
-as extra fields.
+Headline metric stays the flagship LKFLGP fit wall-clock vs the reference's
+committed 3.97 s (/root/reference/README.md:106).  Steady-state timing: each
+jitted pipeline compiles on a first call, then is timed.  Prints ONE JSON
+line; parity/secondary numbers ride as extra fields.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import jax
 
-# Persistent compile cache: compiles dominate wall-clock over the axon
-# tunnel; cached reruns skip them entirely.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.path.join(_HERE, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -27,139 +34,409 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 def _mark(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+
 # Precision policy (measured on v5e): everything runs f32 with
 # Precision.HIGHEST-pinned contractions; GPC prediction uses the
-# Rao-Blackwellized collapsed predictor (average over the last 50 ω states)
-# instead of the reference's one-sample final-state estimate — torus error
-# 0.015 ± seed noise vs the reference's 0.027, at full f32 speed.  An f64
-# solve tail (FitConfig.solve_dtype) is available but not needed here.
+# Rao-Blackwellized collapsed predictor (average over the last 50 ω states).
 import jax.numpy as jnp
 import numpy as np
 
 import flgp_tpu
 from flgp_tpu import FitConfig, GraphConfig
-from flgp_tpu.datasets import spiral, torus_rings
+from flgp_tpu.datasets import mnist_like, spiral, spiral_r, torus_rings_r
+from flgp_tpu.utils.metrics import MetricsReport
 
 BASELINE_TORUS_LKFLGP_S = 3.97      # README.md:106
+BASELINE_TORUS_SKFLGP_S = 20.95     # README.md:91
 BASELINE_TORUS_ERR = 0.02702       # README.md:109
+BASELINE_TORUS_SE_ERR = 0.0        # README.md:94
 BASELINE_SPIRAL_RMSE = 0.4582      # README.md:169
+BASELINE_SPIRAL_SE_RMSE = 0.5032   # README.md:149
 
 
-def main():
+def _fetch(out):
+    """Force a real value transfer: on the remote (axon) backend,
+    block_until_ready on an already-complete (memoized) result returns
+    instantly — fetching bytes is the only honest completion barrier."""
+    leaf = jax.tree_util.tree_leaves(out.__dict__ if hasattr(out, "__dict__") else out)[0]
+    np.asarray(leaf[:1] if hasattr(leaf, "shape") and leaf.ndim else leaf)
+    return out
+
+
+def _timed(fn, warm_key, run_key):
+    """Compile+warm with one key, time with a different key: the remote
+    backend memoizes identical (executable, args) dispatches, so re-timing
+    the warmup call would measure nothing."""
+    _fetch(fn(warm_key))
+    t0 = time.perf_counter()
+    out = _fetch(fn(run_key))
+    return out, time.perf_counter() - t0
+
+
+def bench_goldens(report: MetricsReport):
     key = jax.random.PRNGKey(0)
-
-    # ---- torus GPC, LKFLGP config ---------------------------------------
-    torus = torus_rings(n=4800, m_train=100, seed=1234)
+    tor = torus_rings_r()
+    sp = spiral_r()
     cfg = FitConfig(graph=GraphConfig(s=600, r=3, K=100), sigma=1e-3)
-
-    def run_torus():
-        return flgp_tpu.fit_lae_logit_gp(
-            key, torus.x_train, torus.y_train, torus.x_test, cfg=cfg
-        )
-
-    _mark("torus: compiling")
-    res = run_torus()  # compile + warm caches
-    _mark("torus: compiled, timing")
-    t0 = time.perf_counter()
-    res = run_torus()
-    torus_fit_s = time.perf_counter() - t0
-    torus_err = float(np.mean(res.y_test != torus.y_test))
-
-    # ---- spiral GPR, LKFLGP config --------------------------------------
-    sp = spiral(n=4000, m_train=200, seed=1234)
     cfg_r = FitConfig(graph=GraphConfig(s=500, r=3, K=100), sigma=1e-5)
+    out = {}
 
-    def run_spiral():
-        return flgp_tpu.fit_lae_regression_gp(key, sp.x_train, sp.y_train, sp.x_test, cfg_r)
+    _mark("goldens: torus LAE")
+    with report.stage("torus_lae_fit"):
+        res, dt = _timed(
+            lambda k: flgp_tpu.fit_lae_logit_gp(k, tor.x_train, tor.y_train, tor.x_test, cfg=cfg),
+            jax.random.PRNGKey(100), key,
+        )
+    out["torus_fit_s"] = dt
+    out["torus_err"] = float(np.mean(res.y_test != tor.y_test))
 
-    _mark("spiral: compiling")
-    res_sp = run_spiral()
-    _mark("spiral: compiled, timing")
-    t0 = time.perf_counter()
-    res_sp = run_spiral()
-    spiral_fit_s = time.perf_counter() - t0
-    spiral_rmse = float(np.sqrt(np.mean((res_sp.y_test - sp.y_test) ** 2)))
+    _mark("goldens: torus SE")
+    with report.stage("torus_se_fit"):
+        res, dt = _timed(
+            lambda k: flgp_tpu.fit_se_logit_gp(k, tor.x_train, tor.y_train, tor.x_test, cfg=cfg),
+            jax.random.PRNGKey(101), key,
+        )
+    out["torus_se_fit_s"] = dt
+    out["torus_se_err"] = float(np.mean(res.y_test != tor.y_test))
 
-    # ---- ESS/sec/chip on the GPC posterior (whitened HMC) ---------------
+    _mark("goldens: spiral LAE (+12-seed anchor sweep)")
+    with report.stage("spiral_lae_fit"):
+        res, dt = _timed(
+            lambda k: flgp_tpu.fit_lae_regression_gp(k, sp.x_train, sp.y_train, sp.x_test, cfg_r),
+            jax.random.PRNGKey(102), key,
+        )
+    out["spiral_fit_s"] = dt
+    out["spiral_rmse"] = float(np.sqrt(np.mean((res.y_test - sp.y_test) ** 2)))
+    rmses = [out["spiral_rmse"]]
+    for seed in range(1, 12):
+        r = flgp_tpu.fit_lae_regression_gp(
+            jax.random.PRNGKey(seed), sp.x_train, sp.y_train, sp.x_test, cfg_r
+        )
+        rmses.append(float(np.sqrt(np.mean((r.y_test - sp.y_test) ** 2))))
+    out["spiral_rmse_seed_mean"] = float(np.mean(rmses))
+    out["spiral_rmse_seed_min"] = float(np.min(rmses))
+
+    _mark("goldens: spiral SE")
+    with report.stage("spiral_se_fit"):
+        res, dt = _timed(
+            lambda k: flgp_tpu.fit_se_regression_gp(k, sp.x_train, sp.y_train, sp.x_test, cfg_r),
+            jax.random.PRNGKey(103), key,
+        )
+    out["spiral_se_fit_s"] = dt
+    out["spiral_se_rmse"] = float(np.sqrt(np.mean((res.y_test - sp.y_test) ** 2)))
+    return out, res
+
+
+def bench_sampling(report: MetricsReport, torus_eig):
+    """ESS/sec/chip on the torus GPC posterior — HMC and NUTS (north star)."""
+    from flgp_tpu.datasets import torus_rings_r
     from flgp_tpu.inference.diagnostics import ess
     from flgp_tpu.inference.hmc import run_hmc
+    from flgp_tpu.inference.nuts import run_nuts
     from flgp_tpu.models.latent import GpcLogPost, make_whitened
 
-    eig = res.eigenpair
+    tor = torus_rings_r()
     K = 100
-    m = torus.x_train.shape[0]
-    gp = make_whitened(eig, jnp.arange(m), K, 1e-3)
+    m = tor.x_train.shape[0]
+    gp = make_whitened(torus_eig, jnp.arange(m), K, 1e-3)
     logpost = GpcLogPost(
-        gp,
-        jnp.asarray(torus.y_train, jnp.float32),
-        jnp.ones((m,), jnp.float32),
+        gp, jnp.asarray(tor.y_train, jnp.float32), jnp.ones((m,), jnp.float32),
         1e-2, 10.0, 2.0,
     )
     n_chains, n_samp = 16, 512
     x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n_chains, K + 1), jnp.float32)
+    out = {}
 
-    hmc = jax.jit(
-        lambda k, x: run_hmc(k, logpost, x, n_warmup=256, n_samples=n_samp, n_leapfrog=16)
+    _mark("sampling: HMC")
+    hmc = jax.jit(lambda k, x: run_hmc(k, logpost, x, n_warmup=256, n_samples=n_samp, n_leapfrog=16))
+    _fetch(hmc(jax.random.PRNGKey(2), x0).samples)
+    with report.stage("hmc") as slot:
+        t0 = time.perf_counter()
+        run = hmc(jax.random.PRNGKey(3), x0)
+        _fetch(run.samples)
+        hmc_s = time.perf_counter() - t0
+        slot["wall"] = hmc_s
+    out["gpc_min_ess_per_sec_per_chip"] = float(np.min(ess(np.asarray(run.samples, np.float64)))) / hmc_s
+    out["hmc_accept_mean"] = float(jnp.mean(run.accept_prob))
+
+    _mark("sampling: NUTS")
+    nuts = jax.jit(lambda k, x: run_nuts(k, logpost, x, n_warmup=256, n_samples=n_samp, max_depth=8))
+    _fetch(nuts(jax.random.PRNGKey(4), x0).samples)
+    with report.stage("nuts") as slot:
+        t0 = time.perf_counter()
+        nrun = nuts(jax.random.PRNGKey(5), x0)
+        _fetch(nrun.samples)
+        nuts_s = time.perf_counter() - t0
+        slot["wall"] = nuts_s
+    out["gpc_nuts_min_ess_per_sec_per_chip"] = float(np.min(ess(np.asarray(nrun.samples, np.float64)))) / nuts_s
+    out["nuts_accept_mean"] = float(jnp.mean(nrun.accept_stat))
+    return out
+
+
+def bench_multiclass_smc(report: MetricsReport):
+    """BASELINE config 3: fit_lae_logit_mult at n=7e4 + SMC over per-class t."""
+    from flgp_tpu.fit.multiclass import one_hot_labels
+    from flgp_tpu.fit.spectral import build_spectrum
+    from flgp_tpu.inference.hyperparam import mult_t_posterior
+
+    ds = mnist_like(n=70_000, m_train=500)
+    key = jax.random.PRNGKey(0)
+    cfg = FitConfig(graph=GraphConfig(s=600, r=3, K=100), sigma=1e-3, n_gibbs=50, gibbs_avg_sweeps=25)
+    out = {}
+
+    _mark("multiclass: fit n=7e4 (compile)")
+    with report.stage("mult_mnist_fit"):
+        res, dt = _timed(
+            lambda k: flgp_tpu.fit_lae_logit_mult_gp(k, ds.x_train, ds.y_train, ds.x_test, cfg=cfg),
+            jax.random.PRNGKey(104), key,
+        )
+    out["mult_n7e4_fit_s"] = dt
+    out["mult_n7e4_err"] = float(np.mean(res.y_test != ds.y_test))
+
+    _mark("multiclass: SMC over per-class t")
+    X_all = jnp.concatenate(
+        [jnp.asarray(ds.x_train, jnp.float32), jnp.asarray(ds.x_test, jnp.float32)]
     )
-    _mark("hmc: compiling")
-    run = hmc(jax.random.PRNGKey(2), x0)
-    jax.block_until_ready(run.samples)
-    _mark("hmc: compiled, timing")
-    t0 = time.perf_counter()
-    run = hmc(jax.random.PRNGKey(3), x0)
-    jax.block_until_ready(run.samples)
-    hmc_s = time.perf_counter() - t0
-    ess_vals = ess(np.asarray(run.samples, np.float64))
-    ess_per_sec = float(np.min(ess_vals)) / hmc_s
+    eig, _ = build_spectrum(key, X_all, cfg.graph)
+    aug_y = one_hot_labels(jnp.asarray(ds.y_train, jnp.float32), 10)
+    idx = jnp.arange(ds.x_train.shape[0])
+    smc_fn = jax.jit(
+        lambda k: mult_t_posterior(k, eig, aug_y, idx, 100, 1e-3, n_particles=64)
+    )
+    _fetch(smc_fn(jax.random.PRNGKey(6)).t_mean)
+    with report.stage("mult_smc"):
+        t0 = time.perf_counter()
+        post = smc_fn(jax.random.PRNGKey(7))
+        _fetch(post.t_mean)
+        smc_s = time.perf_counter() - t0
+    out["mult_smc_s"] = smc_s
+    out["mult_smc_t_mean"] = float(jnp.mean(post.t_mean))
+    out["mult_smc_t_sd"] = float(jnp.mean(post.t_sd))
+    return out
 
-    # ---- spectral stage at n=1e6 (north-star scale metric) ---------------
-    # Full LAE pipeline — kNN + FISTA LAE + Laplacian normalize + Gram/eigh
-    # spectrum, s=1024 anchors, K=128 — on one chip.  Anchors are fed
-    # directly (k-means++ seeding measured separately) so this times the
-    # graph+spectrum build the reference runs under TBB.
-    from flgp_tpu.config import LaplacianType
+
+def bench_ablation_nuts(report: MetricsReport):
+    """BASELINE config 4: n=1e5 kernel ablation (LAE/SE/Nyström) with NUTS
+    over (u, t, noise), 16 chains on the chip."""
+    import dataclasses
+
+    from flgp_tpu.config import KernelType
+    from flgp_tpu.fit.spectral import build_spectrum, nystrom_anchor_eigs, nystrom_extend, nystrom_setup
+    from flgp_tpu.inference.diagnostics import ess
+    from flgp_tpu.inference.nuts import run_nuts
+    from flgp_tpu.models.latent import GprLogPost, make_whitened
+
+    ds = spiral(n=100_000, m_train=1000, seed=7)
+    X_all = jnp.concatenate(
+        [jnp.asarray(ds.x_train, jnp.float32), jnp.asarray(ds.x_test, jnp.float32)]
+    )
+    m = ds.x_train.shape[0]
+    Y = jnp.asarray(ds.y_train, jnp.float32)
+    g = GraphConfig(s=1024, r=3, K=128)
+    K = 128
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    def spectrum_for(kernel: str):
+        if kernel == "nystrom":
+            @jax.jit
+            def build(k):
+                basis = nystrom_setup(k, X_all, g)
+                anchor, Z_UU = nystrom_anchor_eigs(basis, jnp.float32(1.0), K)
+                return nystrom_extend(anchor, Z_UU, basis.dist_allU, jnp.float32(1.0), basis.dist_mean, True)
+            return build
+        gk = dataclasses.replace(g, kernel=KernelType(kernel))
+
+        @jax.jit
+        def build(k):
+            eig, _ = build_spectrum(k, X_all, gk)
+            return eig
+        return build
+
+    n_chains, n_samp = 16, 256
+    for kernel in ("lae", "se", "nystrom"):
+        _mark(f"ablation: {kernel} spectrum + NUTS")
+        build = spectrum_for(kernel)
+        _fetch(build(jax.random.PRNGKey(50)).values)
+        with report.stage(f"ablation_{kernel}_spectrum"):
+            t0 = time.perf_counter()
+            eig = build(key)
+            _fetch(eig.values)
+            out[f"ablation_{kernel}_spectral_s"] = time.perf_counter() - t0
+
+        gp = make_whitened(eig, jnp.arange(m), K, 1e-5)
+        logpost = GprLogPost(gp, Y, 1.0, 10.0, 2.0, 0.1, 1e-3)
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n_chains, K + 2), jnp.float32)
+        nuts = jax.jit(lambda k, x: run_nuts(k, logpost, x, n_warmup=200, n_samples=n_samp, max_depth=7))
+        _fetch(nuts(jax.random.PRNGKey(2), x0).samples)
+        with report.stage(f"ablation_{kernel}_nuts"):
+            t0 = time.perf_counter()
+            run = nuts(jax.random.PRNGKey(3), x0)
+            _fetch(run.samples)
+            dt = time.perf_counter() - t0
+        out[f"ablation_{kernel}_nuts_ess_per_sec"] = float(
+            np.min(ess(np.asarray(run.samples[:, :, -2:], np.float64)))
+        ) / dt
+    return out
+
+
+def bench_scaling_subprocess():
+    """BASELINE config 5 proxy: chain-sharded HMC samples/s at 1 vs 8 devices
+    on a virtual CPU mesh (multi-chip hardware is unavailable; the sharding
+    path itself is what is being exercised)."""
+    _mark("scaling: subprocess (8-device virtual CPU mesh)")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = _HERE  # drop axon_site so the env var takes effect
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_HERE, "bench_scaling.py")],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    _mark(f"scaling subprocess failed: {proc.stderr[-500:]}")
+    return {}
+
+
+def bench_spectral_scale(report: MetricsReport):
+    """North-star scale metrics: full spectral stage (minibatch-kmeans
+    subsampling included) at n=1e6, and the graph+spectrum stage at n=1e7,
+    single chip."""
+    from flgp_tpu.config import LaplacianType, Subsample
+    from flgp_tpu.ops.kmeans import subsample
     from flgp_tpu.ops.knn import knn as _knn
     from flgp_tpu.ops.lae import lae_weights as _lae
     from flgp_tpu.ops.laplacian import normalize_graph_laplacian as _norm
     from flgp_tpu.ops.spectrum import spectrum_from_Z as _spec
     from flgp_tpu.types import EllMatrix as _Ell
 
-    n_big, d_big, s_big, K_big = 1_000_000, 3, 1024, 128
-    kb = jax.random.PRNGKey(7)
-    X_big = jax.random.normal(kb, (n_big, d_big), jnp.float32)
-    U_big = X_big[:: n_big // s_big][:s_big]
+    out = {}
+    s_big, K_big = 1024, 128
 
-    @jax.jit
-    def spectral_stage(X, U):
+    def graph_spectrum(X, U):
         res = _knn(X, U, 3)
         w = _lae(X, U, res.indices)
         Z = _Ell(w, res.indices, s_big)
         Z = _norm(Z, LaplacianType.NORMALIZED, None)
         return _spec(Z, K_big, True)
 
-    _mark("spectral1e6: compiling")
-    eig_big = spectral_stage(X_big, U_big)
-    jax.block_until_ready(eig_big.vectors)
-    _mark("spectral1e6: compiled, timing")
-    t0 = time.perf_counter()
-    eig_big = spectral_stage(X_big, U_big)
-    jax.block_until_ready(eig_big.vectors)
-    spectral_1e6_s = time.perf_counter() - t0
+    # ---- n=1e6 with subsampling included -------------------------------
+    n1, d1 = 1_000_000, 3
+    X1 = jax.random.normal(jax.random.PRNGKey(7), (n1, d1), jnp.float32)
 
-    print(json.dumps({
+    @jax.jit
+    def full_stage(X, k):
+        sub = subsample(k, X, s_big, Subsample.MINIBATCH_KMEANS, 1, 50)
+        return graph_spectrum(X, sub.centers)
+
+    _mark("spectral1e6: compiling")
+    _fetch(full_stage(X1, jax.random.PRNGKey(99)).values)
+    _mark("spectral1e6: timing")
+    with report.stage("spectral_n1e6"):
+        t0 = time.perf_counter()
+        eig = full_stage(X1, jax.random.PRNGKey(3))
+        _fetch(eig.values)
+        dt6 = time.perf_counter() - t0
+        out["spectral_stage_n1e6_s"] = dt6
+
+    # analytic cost model for the stage (dominant terms): distance matmul,
+    # LAE G/b assembly + FISTA, ELL gram/matmat, eigh.  The stage is
+    # bandwidth/latency-bound, not MXU-bound — report both utilizations.
+    r_ = 3
+    flops = (
+        2 * n1 * s_big * d1                       # kNN distances
+        + 2 * n1 * r_ * r_ * d1 + 2 * n1 * r_ * d1  # LAE Gram + b
+        + 150 * n1 * (2 * r_ * r_ + 10 * r_)      # FISTA iterations
+        + 2 * n1 * r_ * s_big                     # ELL gram scatter
+        + 2 * n1 * r_ * K_big                     # A @ V
+        + 10 * s_big ** 3                         # eigh
+    )
+    bytes_moved = 4 * n1 * (d1 + 2 * r_ + 2 * r_ + K_big)  # X, idx+vals (rw), V out
+    out["spectral_n1e6_est_gflops"] = flops / dt6 / 1e9
+    out["spectral_n1e6_mfu_pct"] = 100.0 * (flops / dt6) / 197e12
+    out["spectral_n1e6_est_hbm_gbps"] = bytes_moved / dt6 / 1e9
+
+    # ---- n=1e7 graph+spectrum, single chip ------------------------------
+    n2 = 10_000_000
+    X2 = jax.random.normal(jax.random.PRNGKey(8), (n2, d1), jnp.float32)
+    U2 = X2[:: n2 // s_big][:s_big]
+    X2w = jax.random.normal(jax.random.PRNGKey(9), (n2, d1), jnp.float32)
+    stage7 = jax.jit(graph_spectrum)
+    _mark("spectral1e7: compiling")
+    _fetch(stage7(X2w, U2).values)
+    _mark("spectral1e7: timing")
+    with report.stage("spectral_n1e7"):
+        t0 = time.perf_counter()
+        eig = stage7(X2, U2)
+        _fetch(eig.values)
+        out["spectral_stage_n1e7_s"] = time.perf_counter() - t0
+    return out
+
+
+def bench_pallas_kernels(report: MetricsReport):
+    """Measured Pallas-vs-XLA numbers for the custom kernels on the chip
+    (the production LAE path routes through the Pallas kernel on TPU —
+    ops/lae.py dispatch)."""
+    from flgp_tpu.ops.knn import knn as _knn
+    from flgp_tpu.ops.lae import lae_weights_xla
+    from flgp_tpu.ops.pallas_kernels import fused_lae
+
+    if jax.devices()[0].platform != "tpu":
+        return {}
+    n, d, s, r = 1_000_000, 3, 1024, 3
+    X = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+    Xw = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
+    U = X[:: n // s][:s]
+    idx = jax.jit(lambda a, b: _knn(a, b, r))(X, U).indices
+    idxw = jax.jit(lambda a, b: _knn(a, b, r))(Xw, U).indices
+    out = {}
+
+    _mark("pallas: LAE XLA vs fused kernel")
+    f_xla = jax.jit(lambda a, b, c: lae_weights_xla(a, b, c))
+    _fetch(f_xla(Xw, U, idxw))
+    t0 = time.perf_counter()
+    _fetch(f_xla(X, U, idx))
+    t_xla = time.perf_counter() - t0
+    f_pl = jax.jit(lambda a, b, c: fused_lae(a, b, c))
+    _fetch(f_pl(Xw, U, idxw))
+    t0 = time.perf_counter()
+    _fetch(f_pl(X, U, idx))
+    t_pl = time.perf_counter() - t0
+    out["pallas_lae_xla_ms"] = t_xla * 1e3
+    out["pallas_lae_fused_ms"] = t_pl * 1e3
+    out["pallas_lae_speedup"] = t_xla / t_pl
+    return out
+
+
+def main():
+    report = MetricsReport()
+    results = {}
+
+    golden, torus_res = bench_goldens(report)
+    results.update(golden)
+    results.update(bench_sampling(report, torus_res.eigenpair))
+    results.update(bench_multiclass_smc(report))
+    results.update(bench_ablation_nuts(report))
+    results.update(bench_spectral_scale(report))
+    results.update(bench_pallas_kernels(report))
+    results.update(bench_scaling_subprocess())
+
+    payload = {
         "metric": "torus_gpc_lae_fit_wall_clock",
-        "value": round(torus_fit_s, 4),
+        "value": round(results.pop("torus_fit_s"), 4),
         "unit": "s",
-        "vs_baseline": round(BASELINE_TORUS_LKFLGP_S / torus_fit_s, 2),
-        "torus_test_error": round(torus_err, 5),
+        "vs_baseline": None,
         "torus_err_baseline": BASELINE_TORUS_ERR,
-        "spiral_fit_s": round(spiral_fit_s, 4),
-        "spiral_rmse": round(spiral_rmse, 5),
         "spiral_rmse_baseline": BASELINE_SPIRAL_RMSE,
-        "gpc_min_ess_per_sec_per_chip": round(ess_per_sec, 1),
-        "hmc_accept_mean": round(float(jnp.mean(run.accept_prob)), 3),
-        "spectral_stage_n1e6_s": round(spectral_1e6_s, 4),
-    }))
+        "spiral_se_rmse_baseline": BASELINE_SPIRAL_SE_RMSE,
+    }
+    payload["vs_baseline"] = round(BASELINE_TORUS_LKFLGP_S / payload["value"], 2)
+    for k, v in results.items():
+        payload[k] = round(v, 5) if isinstance(v, float) else v
+    payload["stage_timings"] = json.loads(report.to_json())
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

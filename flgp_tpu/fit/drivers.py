@@ -41,6 +41,9 @@ class FitResult:
     obj: float
     C: Optional[np.ndarray] = None
     eigenpair: Optional[EigenPair] = None
+    # per-stage wall-clock + solver residuals, populated when a
+    # MetricsReport is passed to the driver (SURVEY §5 observability)
+    metrics: Optional[Dict[str, float]] = None
 
 
 def _concat_all(X, X_new, dtype):
@@ -193,6 +196,71 @@ def _select(tree, i):
 
 
 # ---------------------------------------------------------------------------
+# Instrumented staged execution (SURVEY §5 observability).  The default path
+# fuses the whole fit into one XLA program; passing a MetricsReport switches
+# the LAE drivers to separately-jitted stages so per-stage wall-clock and
+# solver residuals land in FitResult.metrics.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def _spectrum_stage(key, X_all, g):
+    eig, _ = spectral.build_spectrum(key, X_all, g)
+    # eigh/SVD quality: ||VᵀV/n − I||_F / K for the K kept columns (vectors
+    # are √n-scaled left singular vectors, src/Spectrum.cpp:157-158)
+    n = X_all.shape[0]
+    Vt_V = jnp.matmul(eig.vectors.T, eig.vectors, precision=jax.lax.Precision.HIGHEST) / n
+    resid = jnp.linalg.norm(Vt_V - jnp.eye(Vt_V.shape[0], dtype=Vt_V.dtype)) / Vt_V.shape[0]
+    return eig, resid
+
+
+def _instrumented_lae_fit(key, X_all, Y, N, cfg: FitConfig, m, n, max_count, task, report):
+    g = dataclasses.replace(cfg.graph, kernel=KernelType.LAE)
+    K = min(g.resolved_K(), g.s, n)
+    metrics: Dict[str, float] = {}
+    k_spec, k_pg = jax.random.split(key)
+    with report.stage("spectrum") as slot:
+        eig, resid = _spectrum_stage(k_spec, X_all, g)
+        slot["_sync"] = eig.vectors
+    metrics["spectrum_s"] = report.stages[-1].wall_s
+    metrics["spectrum_orth_residual"] = float(resid)
+    if N is None:
+        N = jnp.ones((m,), cfg.dtype)
+    scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
+
+    if task == "regression":
+        train = jax.jit(
+            lambda e, y: _train_gpr(e, y, jnp.arange(m), K, scfg)
+        )
+        with report.stage("train") as slot:
+            res = train(seig, Ys)
+            slot["_sync"] = res.t
+        metrics["train_s"] = report.stages[-1].wall_s
+        tail = jax.jit(lambda e, y, t, nz: _gpr_tail(e, y, m, n, K, scfg, t, nz))
+        with report.stage("predict") as slot:
+            out = tail(seig, Ys, res.t, res.noise)
+            slot["_sync"] = out["test"]
+        metrics["predict_s"] = report.stages[-1].wall_s
+        result = _to_result(out, dict(t=res.t, noise=res.noise), -res.obj, eig)
+    else:
+        train = jax.jit(lambda e, y, nv: _train_gpc(e, y, nv, jnp.arange(m), K, scfg))
+        with report.stage("train") as slot:
+            res = train(seig, Ys, Ns)
+            slot["_sync"] = res.x
+        metrics["train_s"] = report.stages[-1].wall_s
+        tail = jax.jit(
+            lambda k, e, y, nv, t: _gpc_tail(k, e, y, nv, m, n, K, scfg, t, max_count)
+        )
+        with report.stage("predict") as slot:
+            out = tail(k_pg, seig, Ys, Ns, res.x)
+            slot["_sync"] = out["test"]
+        metrics["predict_s"] = report.stages[-1].wall_s
+        result = _to_result(out, dict(t=res.x), -res.obj, eig)
+    result.metrics = metrics
+    return result
+
+
+# ---------------------------------------------------------------------------
 # LAE drivers (no bandwidth grid; src/Fit.cpp:20-99, 521-605, 609-662)
 # ---------------------------------------------------------------------------
 
@@ -208,11 +276,21 @@ def _lae_regression_impl(key, X_all, Y, cfg: FitConfig, m: int, n: int):
     return out, res, eig
 
 
-def fit_lae_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5)) -> FitResult:
-    """GPR with the LAE kernel (src/Fit.cpp:20-99)."""
+def fit_lae_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5),
+                          report=None) -> FitResult:
+    """GPR with the LAE kernel (src/Fit.cpp:20-99).
+
+    Passing a ``utils.metrics.MetricsReport`` as ``report`` runs the pipeline
+    as separately-jitted stages and returns per-stage wall-clock + solver
+    residuals in ``FitResult.metrics`` (slightly slower than the fused
+    default: three dispatches instead of one)."""
     cfg = _resolve(cfg, "regression")
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
+    if report is not None:
+        return _instrumented_lae_fit(
+            key, X_all, Y, None, cfg, m, n, 1, "regression", report
+        )
     out, res, eig = _lae_regression_impl(key, X_all, Y, cfg, m, n)
     return _to_result(out, dict(t=res.t, noise=res.noise), -res.obj, eig)
 
@@ -229,8 +307,11 @@ def _lae_logit_impl(key, X_all, Y, N, cfg: FitConfig, m: int, n: int, max_count:
     return out, res, eig
 
 
-def fit_lae_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig()) -> FitResult:
-    """Binary GPC with the LAE kernel (src/Fit.cpp:521-605)."""
+def fit_lae_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig(),
+                     report=None) -> FitResult:
+    """Binary GPC with the LAE kernel (src/Fit.cpp:521-605).
+
+    ``report``: optional MetricsReport — see fit_lae_regression_gp."""
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
     if N is None:
@@ -239,6 +320,10 @@ def fit_lae_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig()) -> 
     else:
         N_arr = jnp.asarray(N, cfg.dtype)
         max_count = int(np.max(np.asarray(N)))
+    if report is not None:
+        return _instrumented_lae_fit(
+            key, X_all, Y, N_arr, cfg, m, n, max_count, "logit", report
+        )
     out, res, eig = _lae_logit_impl(key, X_all, Y, N_arr, cfg, m, n, max_count)
     return _to_result(out, dict(t=res.x), -res.obj, eig)
 

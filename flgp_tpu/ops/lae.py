@@ -45,9 +45,33 @@ def lae_weights(
     """Anchor-embedding weights, shape (n, r): row i solves the simplex LSQ
     over anchors[knn_idx[i]].
 
-    FISTA with momentum restartless schedule matching the reference's delta
-    recursion (src/lae.cpp:97-130); step size 1/L with L a Gershgorin upper
-    bound on λmax(U_iU_iᵀ).
+    On TPU this dispatches to the fused Pallas FISTA kernel
+    (ops.pallas_kernels.fused_lae): the iteration loop is the dominant cost
+    of the whole spectral stage under XLA (150 sequential HBM passes;
+    measured 1.73 s of 2.19 s at n=1e6 on v5e), and the fused kernel runs it
+    in VMEM in a single pass.  Everywhere else: the XLA scan below."""
+    import jax as _jax
+
+    try:
+        on_tpu = _jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu and X.dtype == jnp.float32:
+        from .pallas_kernels import fused_lae
+
+        return fused_lae(X, anchors, knn_idx, iters)
+    return lae_weights_xla(X, anchors, knn_idx, iters)
+
+
+def lae_weights_xla(
+    X: jnp.ndarray,
+    anchors: jnp.ndarray,
+    knn_idx: jnp.ndarray,
+    iters: int = 150,
+) -> jnp.ndarray:
+    """Portable XLA implementation: FISTA with momentum schedule matching the
+    reference's delta recursion (src/lae.cpp:97-130); step size 1/L with L a
+    Gershgorin upper bound on λmax(U_iU_iᵀ).
     """
     Ui = anchors[knn_idx]                       # (n, r, d)
     G = jnp.einsum("nrd,nsd->nrs", Ui, Ui, precision=PRECISION)  # (n, r, r) Gram

@@ -1,16 +1,22 @@
-"""Pallas TPU kernels for the spectral stage's bandwidth-bound ops.
+"""Pallas TPU kernels for the spectral stage.
 
-Two custom kernels where XLA's default lowering leaves bandwidth on the
-table; both have jnp fallbacks (used automatically off-TPU) and are validated
-against them in tests/test_pallas.py on real hardware.
+Three custom kernels with jnp fallbacks (used automatically off-TPU); all are
+validated against the fallbacks in tests/test_pallas.py (interpret mode off
+hardware, compiled on the chip via bench.py, which also records the measured
+speedups each round).
 
-1. ``fused_knn``: block-rows of X stream through VMEM, distances to the full
+1. ``fused_lae``: the spectral stage's dominant cost (measured 1.73 s of the
+   2.19 s n=1e6 stage on v5e) is the 150-iteration FISTA loop of the local
+   anchor embedding — XLA lowers it as 150 sequential HBM passes of tiny
+   (n, r) ops.  Here each row block loads its Gram/linear term into VMEM once
+   and runs *all* iterations in-register: one HBM pass total.
+
+2. ``fused_knn``: block-rows of X stream through VMEM, distances to the full
    anchor set are computed on the MXU, and the r smallest are extracted
-   in-register — the (block, s) distance tile never round-trips to HBM
-   (XLA's top_k lowering materializes the full (n, s) matrix).
+   in-register — the (block, s) distance tile never round-trips to HBM.
 
-2. ``ell_matmat``: Z @ W for the ELL layout with the (n, r) index block
-   scalar-prefetched so row gathers of W overlap the compute.
+3. ``ell_matmat``: Z @ W for the ELL layout with row gathers of W recast as
+   one-hot MXU contractions against a VMEM-resident W.
 """
 
 from __future__ import annotations
@@ -109,16 +115,143 @@ def fused_knn(X: jnp.ndarray, U: jnp.ndarray, r: int, block: int = 512,
 
 
 # ---------------------------------------------------------------------------
+# fused LAE: the whole FISTA loop in VMEM (one HBM pass over G, b)
+# ---------------------------------------------------------------------------
+
+
+def _lae_fista_kernel(G_ref, b_ref, out_ref, *, r: int, iters: int):
+    """All FISTA iterations on a VMEM-resident row block.
+
+    Data layout: the r-structure lives on the LEADING axis — every per-point
+    quantity is one of r separate (S, 128) full tiles (S = block/128
+    sublanes), so the VPU lanes are 100% utilized (a (block, r=3) layout
+    wastes 125/128 lanes — measured 3.9× vs XLA; this packing reaches ~40×).
+    The r-wide recurrences are unrolled in Python (r=3 in every reference
+    config); iterations run under fori_loop with full-tile carries.  Simplex
+    projection is an odd-even transposition sort network across the r arrays
+    — no data-dependent control flow (src/lae.cpp:137-153 semantics).
+    """
+    G = [[G_ref[i * r + j] for j in range(r)] for i in range(r)]  # (S, 128) each
+    b = [b_ref[k] for k in range(r)]
+
+    # Gershgorin bound on λmax(G) → fixed FISTA step 1/L
+    L = None
+    for i in range(r):
+        row = jnp.abs(G[i][0])
+        for j in range(1, r):
+            row = row + jnp.abs(G[i][j])
+        L = row if L is None else jnp.maximum(L, row)
+    inv_L = 1.0 / (L + 1e-12)
+
+    def project_simplex(w):
+        u = list(w)
+        for p in range(r):
+            for i in range(p % 2, r - 1, 2):
+                hi = jnp.maximum(u[i], u[i + 1])
+                lo = jnp.minimum(u[i], u[i + 1])
+                u[i], u[i + 1] = hi, lo
+        css = u[0]
+        theta = css - 1.0
+        for k in range(1, r):
+            css = css + u[k]
+            cand = (css - 1.0) / (k + 1.0)
+            theta = jnp.where(u[k] - cand > 0, cand, theta)
+        return tuple(jnp.maximum(w[k] - theta, 0.0) for k in range(r))
+
+    # derive z0 from b (not a constant splat) so the loop carries get
+    # concrete, non-replicated layouts Mosaic can keep across iterations
+    z0 = tuple(b[k] * 0.0 + jnp.float32(1.0 / r) for k in range(r))
+
+    def body(it, carry):
+        z_prev, z, d_prev, d_curr = carry
+        alpha = (d_prev - 1.0) / d_curr
+        v = [z[k] + alpha * (z[k] - z_prev[k]) for k in range(r)]
+        w = []
+        for s_ in range(r):
+            g = -b[s_]
+            for k in range(r):
+                g = g + v[k] * G[k][s_]
+            w.append(v[s_] - inv_L * g)
+        z_next = project_simplex(w)
+        d_next = (1.0 + jnp.sqrt(1.0 + 4.0 * d_curr * d_curr)) / 2.0
+        return (z, z_next, d_curr, d_next)
+
+    _, z, _, _ = jax.lax.fori_loop(
+        0, iters, body, (z0, z0, jnp.float32(0.0), jnp.float32(1.0))
+    )
+    for k in range(r):
+        out_ref[k] = z[k].astype(out_ref.dtype)
+
+
+def fused_lae(
+    X: jnp.ndarray,
+    anchors: jnp.ndarray,
+    knn_idx: jnp.ndarray,
+    iters: int = 150,
+    block: int = 32768,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TPU fused LAE weights (one HBM pass); jnp scan fallback elsewhere.
+
+    The Gram G = U_iU_iᵀ and linear term b = U_i·x are assembled by XLA (a
+    single fused gather+einsum pass) and transposed so the point axis fills
+    whole (sublane, lane) tiles; the kernel owns the iteration loop."""
+    from .lae import lae_weights_xla
+
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+        return lae_weights_xla(X, anchors, knn_idx, iters)
+
+    n, r = knn_idx.shape
+    Ui = anchors[knn_idx]                        # (n, r, d)
+    G = jnp.einsum(
+        "nrd,nsd->nrs", Ui, Ui, precision=jax.lax.Precision.HIGHEST
+    ).reshape(n, r * r).astype(jnp.float32)
+    b = jnp.einsum(
+        "nd,nrd->nr", X, Ui, precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.float32)
+
+    pad = (-n) % block
+    if pad:
+        G = jnp.pad(G, ((0, pad), (0, 0)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+    n_pad = G.shape[0]
+    # (n, c) → (c, n/128, 128): the point axis becomes full tiles
+    Gt = G.T.reshape(r * r, n_pad // 128, 128)
+    bt = b.T.reshape(r, n_pad // 128, 128)
+    S = block // 128
+
+    out = pl.pallas_call(
+        functools.partial(_lae_fista_kernel, r=r, iters=iters),
+        grid=(n_pad // block,),
+        in_specs=[
+            pl.BlockSpec((r * r, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, n_pad // 128, 128), X.dtype),
+        interpret=interpret,
+    )(Gt, bt)
+    return out.reshape(r, n_pad).T[:n]
+
+
+# ---------------------------------------------------------------------------
 # ELL matmat: Z @ W with streamed row blocks
 # ---------------------------------------------------------------------------
 
 
 def _ell_matmat_kernel(vals_ref, idx_ref, w_ref, out_ref, *, r: int):
+    """Row gathers of W recast as one-hot × W matmuls: Mosaic has no general
+    gather, and a (block, s) one-hot contraction rides the MXU with W resident
+    in VMEM — the (n, r, K) gathered intermediate XLA materializes in HBM
+    never exists."""
+    w = w_ref[:]                               # (s, K) in VMEM
+    s = w.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (idx_ref.shape[0], s), 1)
     acc = jnp.zeros(out_ref.shape, dtype=jnp.float32)
-    w = w_ref[:]
     for k in range(r):
-        cols = idx_ref[:, k]
-        acc = acc + vals_ref[:, k][:, None] * w[cols]
+        onehot = (idx_ref[:, k][:, None] == col_ids).astype(w.dtype)
+        gath = jnp.dot(onehot, w, preferred_element_type=jnp.float32)
+        acc = acc + vals_ref[:, k][:, None] * gath
     out_ref[:] = acc.astype(out_ref.dtype)
 
 

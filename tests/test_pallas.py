@@ -36,6 +36,37 @@ class TestFusedKnn:
 
 
 @pytest.mark.skipif(not pk._HAVE_PALLAS, reason="pallas unavailable")
+class TestFusedLae:
+    """The flagship kernel: measured 1.73 s → 67 ms (25.8×) at n=1e6 on v5e
+    (the LAE loop dominates the whole spectral stage under XLA)."""
+
+    def test_matches_xla_fista(self, rng):
+        from flgp_tpu.ops.lae import lae_weights_xla
+
+        n, d, s, r = 700, 3, 64, 3
+        X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        U = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        idx = knn(X, U, r).indices
+        got = pk.fused_lae(X, U, idx, iters=150, block=256, interpret=True)
+        ref = lae_weights_xla(X, U, idx, iters=150)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+        # simplex feasibility
+        np.testing.assert_allclose(np.asarray(got).sum(1), 1.0, atol=1e-5)
+        assert np.asarray(got).min() >= 0.0
+
+    def test_r4_and_padding(self, rng):
+        from flgp_tpu.ops.lae import lae_weights_xla
+
+        n, d, s, r = 300, 4, 32, 4
+        X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        U = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        idx = knn(X, U, r).indices
+        got = pk.fused_lae(X, U, idx, iters=100, block=256, interpret=True)
+        ref = lae_weights_xla(X, U, idx, iters=100)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.skipif(not pk._HAVE_PALLAS, reason="pallas unavailable")
 class TestEllMatmat:
     def test_matches_gather_einsum(self, rng):
         n, s, r, K = 70, 24, 4, 8
