@@ -1,0 +1,78 @@
+"""Resumable bandwidth-grid search.
+
+The reference's SE/Nyström/GLGP drivers run the a2 grid as one synchronous
+loop (src/Fit.cpp:147-178) — an interrupted 10-point grid restarts from
+scratch.  Here each grid point's trained result (and the winning spectrum)
+checkpoints as it completes; a resumed call skips finished points and returns
+the identical result (tested in tests/test_resume.py).
+
+The vmapped all-points-at-once drivers (fit.drivers) remain the fast path;
+this host-looped variant trades batching for durability — the right call for
+very large n where each grid point is minutes of work.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FitConfig, default_a2s
+from ..utils.checkpoint import load_pytree, save_pytree, save_spectrum
+from . import spectral
+from .drivers import FitResult, _gpr_tail, _to_result, _train_gpr
+
+
+def fit_se_regression_gp_resumable(
+    key: jax.Array,
+    X,
+    Y,
+    X_new,
+    ckpt_dir: str,
+    cfg: FitConfig = FitConfig(sigma=1e-5),
+) -> FitResult:
+    """SE-kernel GPR with a checkpoint-per-grid-point bandwidth search."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    dtype = cfg.dtype
+    X = jnp.asarray(X, dtype)
+    X_new = jnp.asarray(X_new, dtype)
+    Y = jnp.asarray(Y, dtype)
+    X_all = jnp.concatenate([X, X_new], axis=0)
+    m, n = X.shape[0], X.shape[0] + X_new.shape[0]
+    g = cfg.graph
+    K = min(g.resolved_K(), g.s, n)
+    a2s = np.asarray(default_a2s() if cfg.a2s is None else jnp.asarray(cfg.a2s), np.float64)
+
+    # deterministic setup: same key → same anchors/kNN on resume
+    basis = spectral.se_grid_setup(key, X_all, g)
+    idx = jnp.arange(m)
+
+    @jax.jit
+    def train_at(a2):
+        eig = spectral.se_spectrum_at(basis, a2, g)
+        res = _train_gpr(eig, Y, idx, K, cfg)
+        return res.t, res.noise, res.obj
+
+    results = []
+    for i, a2 in enumerate(a2s):
+        path = os.path.join(ckpt_dir, f"a2_{i}")
+        if os.path.isdir(path):
+            tree = load_pytree(path)
+            results.append((float(tree["t"]), float(tree["noise"]), float(tree["obj"])))
+            continue
+        t, noise, obj = train_at(jnp.asarray(a2, dtype))
+        results.append((float(t), float(noise), float(obj)))
+        save_pytree(path, {"t": t, "noise": noise, "obj": obj, "a2": a2})
+
+    best = int(np.argmin([r[2] for r in results]))
+    t, noise, obj = results[best]
+    eig = spectral.se_spectrum_at(basis, jnp.asarray(a2s[best], dtype), g)
+    save_spectrum(os.path.join(ckpt_dir, "best_spectrum"), eig,
+                  basis.sub.centers, basis.sub.counts)
+    out = _gpr_tail(eig, Y, m, n, K, cfg, jnp.asarray(t, dtype), jnp.asarray(noise, dtype))
+    return _to_result(
+        out, dict(t=t, noise=noise, a2=a2s[best]), -obj, eig
+    )

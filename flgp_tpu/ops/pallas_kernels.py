@@ -210,6 +210,9 @@ def fused_lae(
         "nd,nrd->nr", X, Ui, precision=jax.lax.Precision.HIGHEST
     ).astype(jnp.float32)
 
+    # small problems: shrink the block to the 128-padded row count so a
+    # 4800-row fit doesn't pad (and compile) at 32768 rows
+    block = min(block, ((n + 127) // 128) * 128)
     pad = (-n) % block
     if pad:
         G = jnp.pad(G, ((0, pad), (0, 0)))

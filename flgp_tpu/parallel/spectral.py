@@ -39,6 +39,31 @@ def _local_ell(X_local, anchors, g: GraphConfig):
     return EllMatrix(vals, res.indices, g.s)
 
 
+def _spectrum_from_local_ell(Z: EllMatrix, counts, g: GraphConfig, K: int, axis: str):
+    """Shared tail: normalize a row-sharded ELL graph and extract the
+    spectrum — two psums (column stats, Gram), one replicated eigh."""
+    if g.gl in (LaplacianType.NORMALIZED, LaplacianType.CLUSTER_NORMALIZED):
+        col = jax.lax.psum(Z.colsum(), axis)
+        Z = Z.scale_cols(1.0 / (col + EPS))
+        if g.gl == LaplacianType.CLUSTER_NORMALIZED:
+            Z = Z.scale_cols(counts.astype(Z.dtype))
+    Z = Z.scale_rows(1.0 / (Z.rowsum() + EPS))
+
+    colsum = jax.lax.psum(Z.colsum(), axis)
+    A = Z.scale_cols(1.0 / jnp.sqrt(jnp.abs(colsum) + EPS))
+    G = jax.lax.psum(A.gram(), axis)
+    w, V = jnp.linalg.eigh(G)
+    w = w[::-1][:K]
+    V = V[:, ::-1][:, :K]
+    sigma2 = jnp.maximum(w, 0.0)
+    sigma = jnp.sqrt(sigma2)
+    U_local = A.matmat(V) / (sigma[None, :] + EPS)
+    n_total = jax.lax.psum(jnp.asarray(Z.shape[0], U_local.dtype), axis)
+    values = sigma if g.root else sigma2
+    vectors_local = U_local * jnp.sqrt(n_total)
+    return values, vectors_local
+
+
 def sharded_spectrum_fn(mesh: Mesh, g: GraphConfig, axis: str = "data"):
     """Returns a shard_mapped function (X_shard, anchors, counts) → spectrum.
 
@@ -47,34 +72,33 @@ def sharded_spectrum_fn(mesh: Mesh, g: GraphConfig, axis: str = "data"):
 
     def fn(X_local, anchors, counts):
         Z = _local_ell(X_local, anchors, g)
-
-        # ---- graph-Laplacian normalization (column stats are global) ----
-        if g.gl in (LaplacianType.NORMALIZED, LaplacianType.CLUSTER_NORMALIZED):
-            col = jax.lax.psum(Z.colsum(), axis)
-            Z = Z.scale_cols(1.0 / (col + EPS))
-            if g.gl == LaplacianType.CLUSTER_NORMALIZED:
-                Z = Z.scale_cols(counts.astype(Z.dtype))
-        Z = Z.scale_rows(1.0 / (Z.rowsum() + EPS))
-
-        # ---- A = Z D^{-1/2}, Gram via psum, replicated eigh ----
-        colsum = jax.lax.psum(Z.colsum(), axis)
-        A = Z.scale_cols(1.0 / jnp.sqrt(jnp.abs(colsum) + EPS))
-        G = jax.lax.psum(A.gram(), axis)
-        w, V = jnp.linalg.eigh(G)
-        w = w[::-1][:K]
-        V = V[:, ::-1][:, :K]
-        sigma2 = jnp.maximum(w, 0.0)
-        sigma = jnp.sqrt(sigma2)
-        U_local = A.matmat(V) / (sigma[None, :] + EPS)
-        n_total = jax.lax.psum(jnp.asarray(X_local.shape[0], U_local.dtype), axis)
-        values = sigma if g.root else sigma2
-        vectors_local = U_local * jnp.sqrt(n_total)
-        return values, vectors_local
+        return _spectrum_from_local_ell(Z, counts, g, K, axis)
 
     return jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(axis), P(), P()),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+
+
+def sharded_spectrum_from_ell_fn(mesh: Mesh, g: GraphConfig, axis: str = "data"):
+    """Spectrum from a row-sharded, already-built ELL graph (vals, idx) —
+    the entry point for the out-of-core path, where fit.streaming builds the
+    graph chunk-by-chunk from disk and X never materializes
+    (SURVEY §7 step 6)."""
+    K = g.resolved_K()
+    s = g.s
+
+    def fn(vals_local, idx_local, counts):
+        Z = EllMatrix(vals_local, idx_local, s)
+        return _spectrum_from_local_ell(Z, counts, g, K, axis)
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
         out_specs=(P(), P(axis)),
         check_vma=False,
     )

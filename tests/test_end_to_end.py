@@ -201,3 +201,38 @@ class TestExtras:
         assert vecs.shape == (100, 5)
         # Laplacian eigenvalues nonnegative-ish, first ~0
         assert float(vals[0]) < 1e-6
+
+
+class TestPerPointNoiseDriver:
+    """NoiseModel.DIFFERENT exercised through a full driver (the reference's
+    m+1-parameter MMA path, src/train.cpp:459-555)."""
+
+    def test_fit_lae_regression_different_noise(self):
+        import numpy as np
+
+        from flgp_tpu import FitConfig, GraphConfig, TrainConfig, fit_lae_regression_gp
+
+        rng = np.random.default_rng(4)
+        n, m = 500, 100
+        theta = rng.uniform(0, 4 * np.pi, n)
+        X = np.stack([np.cos(theta) * (1 + theta / 6), np.sin(theta) * (1 + theta / 6)], 1)
+        f = np.sin(theta)
+        idx = rng.permutation(n)
+        # heteroscedastic observations: second half of train rows is 10x noisier
+        noise_sd = np.where(np.arange(m) < m // 2, 0.05, 0.5)
+        Ytr = f[idx[:m]] + noise_sd * rng.normal(size=m)
+
+        cfg = FitConfig(
+            graph=GraphConfig(s=40, r=3, K=20), sigma=1e-5,
+            train=TrainConfig(noise="different"),
+        )
+        res = fit_lae_regression_gp(
+            jax.random.PRNGKey(0), X[idx[:m]], Ytr, X[idx[m:]], cfg
+        )
+        noise_vec = np.asarray(res.pars["noise"])
+        assert noise_vec.shape == (m,), "per-point noise vector expected"
+        assert np.isfinite(res.y_test).all()
+        rmse = float(np.sqrt(np.mean((res.y_test - f[idx[m:]]) ** 2)))
+        assert rmse < 0.6
+        # the learned noise should be larger (on average) for the noisy half
+        assert noise_vec[m // 2:].mean() > noise_vec[: m // 2].mean()

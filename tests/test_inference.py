@@ -251,3 +251,93 @@ class TestRaoBlackwellPredictor:
         _, pi = pg_gibbs.test_pgbinary(key, C, Y, C_all, 20, avg_sweeps=S)
         np.testing.assert_allclose(np.asarray(pi), pis.mean(0), atol=1e-10)
         assert ((np.asarray(pi) >= 0) & (np.asarray(pi) <= 1)).all()
+
+
+class TestPosteriorMomentCrossValidation:
+    """BASELINE: "match FLGP posterior moments within Monte-Carlo error".
+
+    PG-Gibbs (the reference's sampler, src/PGLogitModel.cpp), whitened HMC,
+    and whitened NUTS all target the SAME binary-GPC posterior — their f
+    moments at the training points must agree within MC error; the Laplace
+    approximation (src/Utils.cpp:252-299) agrees within its approximation
+    error.  One shared problem, all four inference engines.
+    """
+
+    def _problem(self):
+        rng = np.random.default_rng(7)
+        m, K, t, sigma = 32, 8, 4.0, 1e-3
+        Q, _ = np.linalg.qr(rng.normal(size=(m, m)))
+        V = jnp.asarray(Q[:, :K] * np.sqrt(m))
+        lam_W = jnp.asarray(np.linspace(0.95, 0.3, K))
+        from flgp_tpu.types import EigenPair
+
+        eig = EigenPair(lam_W, V)
+        Y = jnp.asarray((rng.uniform(size=m) > 0.5).astype(float))
+        return eig, Y, m, K, t, sigma
+
+    def test_pg_hmc_nuts_laplace_agree(self, key):
+        from flgp_tpu.inference.diagnostics import ess
+        from flgp_tpu.inference.hmc import run_hmc
+        from flgp_tpu.inference.nuts import run_nuts
+        from flgp_tpu.inference.pg_gibbs import pg_gibbs_chain
+        from flgp_tpu.models import gpc as gpc_mod
+        from flgp_tpu.models.latent import bernoulli_logit_loglik, log_prior_u
+        from flgp_tpu.ops import linalg
+        from flgp_tpu.ops.heat_kernel import heat_kernel
+
+        eig, Y, m, K, t, sigma = self._problem()
+        N = jnp.ones((m,))
+        idx = jnp.arange(m)
+        C = heat_kernel(eig, t, K, idx, idx)
+        C = linalg.add_diag(C, jnp.full((m,), sigma, C.dtype))
+
+        # ---- PG-Gibbs (exact augmentation) -------------------------------
+        _, f_trace = pg_gibbs_chain(jax.random.PRNGKey(10), C, Y, n_sweeps=4000)
+        f_pg = f_trace[500:]
+        pg_mean = np.asarray(jnp.mean(f_pg, 0))
+        pg_var = np.asarray(jnp.var(f_pg, 0))
+        pg_mc = np.sqrt(pg_var / np.maximum(ess(np.asarray(f_pg)[:, None, :]), 10.0))
+
+        # ---- whitened HMC / NUTS on the identical model -------------------
+        # f = V Λ_t^{1/2} u + √σ w  (the extra m whitened dims reproduce the
+        # σ ridge exactly, so all samplers share one posterior)
+        lam = 1.0 - eig.values[:K]
+        scale = jnp.exp(-0.5 * t * lam)
+        Phi = eig.vectors[:, :K] * scale[None, :]
+
+        def logprob(x):
+            u, w = x[:K], x[K:]
+            f = Phi @ u + jnp.sqrt(sigma) * w
+            return log_prior_u(x) + bernoulli_logit_loglik(f, Y, N)
+
+        def f_draws(samples):
+            S, Cn, _ = samples.shape
+            flat = samples.reshape(S * Cn, -1)
+            return flat[:, :K] @ Phi.T + jnp.sqrt(sigma) * flat[:, K:]
+
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(11), (8, K + m))
+        hmc = run_hmc(jax.random.PRNGKey(12), logprob, x0, n_warmup=300,
+                      n_samples=600, n_leapfrog=16)
+        f_hmc = f_draws(hmc.samples)
+        nuts = run_nuts(jax.random.PRNGKey(13), logprob, x0[:4], n_warmup=300,
+                        n_samples=400, max_depth=7)
+        f_nuts = f_draws(nuts.samples)
+
+        # ---- Laplace moments at the train points --------------------------
+        la_mean, _ = gpc_mod.gpc_posterior_moments(C, C, jnp.diagonal(C), Y)
+
+        tol = 6.0 * pg_mc + 0.05  # MC error of both sides + slack
+        for name, f_s in (("hmc", f_hmc), ("nuts", f_nuts)):
+            mean_s = np.asarray(jnp.mean(f_s, 0))
+            var_s = np.asarray(jnp.var(f_s, 0))
+            assert np.all(np.abs(mean_s - pg_mean) < tol), (
+                f"{name} mean disagrees with PG-Gibbs beyond MC error: "
+                f"{np.max(np.abs(mean_s - pg_mean)):.4f}"
+            )
+            ratio = var_s / pg_var
+            assert 0.6 < float(np.median(ratio)) < 1.6, f"{name} variance off: {ratio}"
+
+        # Laplace is an approximation — generous but bounded agreement
+        assert np.all(np.abs(la_mean - pg_mean) < 0.30 + 6.0 * pg_mc)
+        corr = np.corrcoef(np.asarray(la_mean), pg_mean)[0, 1]
+        assert corr > 0.98

@@ -259,3 +259,70 @@ class TestShardedSmc:
             np.asarray(ref.particles).mean(axis=0),
             atol=0.15,
         )
+
+
+class TestShardedGpcTail:
+    """n-sharded Laplace Newton + moments vs the dense single-device tail
+    (src/Fit.cpp:521-605 / src/Utils.cpp:252-299 semantics at scale)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(11)
+        n, K, m, sigma, t = 160, 12, 64, 1e-3, 8.0
+        V = jnp.asarray(rng.normal(size=(n, K)) / np.sqrt(K))
+        lam_W = jnp.asarray(np.linspace(0.999, 0.2, K))  # eigenvalues of W
+        eig = EigenPair(lam_W, V)
+        Y_full = jnp.asarray((rng.uniform(size=n) > 0.5).astype(float))
+        mask = jnp.zeros((n,)).at[jnp.arange(m)].set(1.0)
+        return eig, Y_full * mask, mask, n, K, m, sigma, t
+
+    def test_matches_dense_laplace(self, mesh):
+        from flgp_tpu.models import gpc as gpc_mod
+        from flgp_tpu.ops import linalg
+        from flgp_tpu.ops.heat_kernel import heat_kernel, heat_kernel_diag
+        from flgp_tpu.parallel.gpc import sharded_gpc_laplace_fn
+
+        eig, Y, mask, n, K, m, sigma, t = self._setup()
+        idx0 = jnp.arange(m)
+        idx1 = jnp.arange(m, n)
+
+        # dense oracle: marginal + moments
+        C11 = heat_kernel(eig, t, K, idx0, idx0)
+        C11 = linalg.add_diag(C11, jnp.full((m,), sigma, C11.dtype))
+        C21 = heat_kernel(eig, t, K, idx1, idx0)
+        C22 = heat_kernel_diag(eig, t, K, idx1) + sigma
+        amll_ref = gpc_mod.gpc_marginal_log_likelihood(C11, Y[:m], jnp.ones((m,)))
+        mean_ref, var_ref = gpc_mod.gpc_posterior_moments(C11, C21, C22, Y[:m])
+
+        fn = sharded_gpc_laplace_fn(mesh, K, sigma)
+        amll, mean, var, label = jax.jit(fn)(
+            replicate(mesh, eig.values),
+            shard_rows(mesh, eig.vectors),
+            shard_rows(mesh, Y),
+            shard_rows(mesh, mask),  # N = mask (1 trial at train rows)
+            shard_rows(mesh, mask),
+            replicate(mesh, jnp.asarray(t)),
+        )
+        np.testing.assert_allclose(float(amll), float(amll_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(mean)[m:], np.asarray(mean_ref), rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(var)[m:], np.asarray(var_ref), rtol=1e-5, atol=1e-8)
+
+    def test_sharded_predict_weights(self, mesh):
+        from flgp_tpu.ops.heat_kernel import heat_kernel
+        from flgp_tpu.parallel.gpc import sharded_predict_weights_fn
+
+        eig, Y, mask, n, K, m, sigma, t = self._setup()
+        rng = np.random.default_rng(5)
+        w = jnp.asarray(rng.normal(size=n)) * mask
+        # dense oracle: C[:, :m] @ w_m with the σ ridge on train rows
+        C_all = heat_kernel(eig, t, K, jnp.arange(n), jnp.arange(m))
+        ref = C_all @ w[:m] + sigma * w
+        fn = sharded_predict_weights_fn(mesh, K)
+        got = jax.jit(fn)(
+            replicate(mesh, eig.values),
+            shard_rows(mesh, eig.vectors),
+            shard_rows(mesh, w),
+            shard_rows(mesh, mask),
+            replicate(mesh, jnp.asarray(t)),
+            replicate(mesh, jnp.asarray(sigma)),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-10)
