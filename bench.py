@@ -58,8 +58,9 @@ def _fetch(out):
     """Force a real value transfer: on the remote (axon) backend,
     block_until_ready on an already-complete (memoized) result returns
     instantly — fetching bytes is the only honest completion barrier."""
-    leaf = jax.tree_util.tree_leaves(out.__dict__ if hasattr(out, "__dict__") else out)[0]
-    np.asarray(leaf[:1] if hasattr(leaf, "shape") and leaf.ndim else leaf)
+    d = getattr(out, "__dict__", None)
+    leaf = jax.tree_util.tree_leaves(d if d else out)[0]
+    np.asarray(leaf[:1] if getattr(leaf, "ndim", 0) else leaf)
     return out
 
 
@@ -334,12 +335,15 @@ def bench_spectral_scale(report: MetricsReport):
     _mark("spectral1e6: compiling")
     _fetch(full_stage(X1, jax.random.PRNGKey(99)).values)
     _mark("spectral1e6: timing")
-    with report.stage("spectral_n1e6"):
-        t0 = time.perf_counter()
-        eig = full_stage(X1, jax.random.PRNGKey(3))
-        _fetch(eig.values)
-        dt6 = time.perf_counter() - t0
-        out["spectral_stage_n1e6_s"] = dt6
+    from flgp_tpu.utils.metrics import profiler_trace
+
+    with profiler_trace(os.environ.get("FLGP_PROFILE_DIR")):
+        with report.stage("spectral_n1e6"):
+            t0 = time.perf_counter()
+            eig = full_stage(X1, jax.random.PRNGKey(3))
+            _fetch(eig.values)
+            dt6 = time.perf_counter() - t0
+            out["spectral_stage_n1e6_s"] = dt6
 
     # analytic cost model for the stage (dominant terms): distance matmul,
     # LAE G/b assembly + FISTA, ELL gram/matmat, eigh.  The stage is

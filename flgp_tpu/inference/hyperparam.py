@@ -136,12 +136,18 @@ def mult_t_posterior(
     def marginal(theta):
         ts = jnp.exp(theta)  # (J,)
 
-        def one(t, yj):
+        def one(args):
+            t, yj = args
             C = heat_kernel(eigenpair, t, K, idx, idx)
             C = linalg.add_diag(C, jnp.full((m,), sigma, C.dtype))
             return gpc_marginal_log_likelihood(C, yj, Nv)
 
-        return jnp.sum(jax.vmap(one)(ts, aug_y.T))
+        # lax.map (not vmap): the SMC evaluates this under a vmap over all
+        # particles — vmapping the class axis too materializes
+        # particles × J (m, m) kernels at once (measured: HBM OOM / TPU
+        # worker crash at m=500, J=10, 64 particles).  Classes run
+        # sequentially; particles stay batched.
+        return jnp.sum(jax.lax.map(one, (ts, aug_y.T)))
 
     def log_prior(theta):
         return _q0_logpdf(theta, mu0, s0)
