@@ -201,8 +201,13 @@ def bench_multiclass_smc(report: MetricsReport):
     eig, _ = build_spectrum(key, X_all, cfg.graph)
     aug_y = one_hot_labels(jnp.asarray(ds.y_train, jnp.float32), 10)
     idx = jnp.arange(ds.x_train.shape[0])
+    # 32 particles, capped Newton/mutation budgets: the full-budget program
+    # is petaFLOP-scale and trips the remote worker's execution watchdog
     smc_fn = jax.jit(
-        lambda k: mult_t_posterior(k, eig, aug_y, idx, 100, 1e-3, n_particles=64)
+        lambda k: mult_t_posterior(
+            k, eig, aug_y, idx, 100, 1e-3,
+            n_particles=32, n_mutation_steps=3, newton_max_iter=25,
+        )
     )
     _fetch(smc_fn(jax.random.PRNGKey(6)).t_mean)
     with report.stage("mult_smc"):

@@ -28,10 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..models.gpc import gpc_marginal_log_likelihood
+from ..models.gpc import gpc_marginal_log_likelihood_lowrank
 from ..models.latent import t_log_prior_density
-from ..ops import linalg
-from ..ops.heat_kernel import heat_kernel
 from ..types import EigenPair
 from .smc import SmcResult, run_smc
 
@@ -71,6 +69,8 @@ def gpc_t_posterior(
     tau: float = 2.0,
     mu0: float = 2.3,
     s0: float = 1.5,
+    newton_tol: float = 1e-5,
+    newton_max_iter: int = 100,
 ) -> TPosterior:
     """Tempered-SMC posterior over log t for binary heat-kernel GPC.
 
@@ -83,11 +83,13 @@ def gpc_t_posterior(
     Y = Y.astype(dtype)
     Nv = jnp.ones((m,), dtype) if N is None else N.astype(dtype)
 
+    V_idx = eigenpair.vectors[idx, :K]
+    lam = 1.0 - eigenpair.values[:K]
+
     def marginal(theta):
         t = jnp.exp(theta[0])
-        C = heat_kernel(eigenpair, t, K, idx, idx)
-        C = linalg.add_diag(C, jnp.full((m,), sigma, C.dtype))
-        return gpc_marginal_log_likelihood(C, Y, Nv)
+        Phi = V_idx * jnp.exp(-0.5 * t * lam)[None, :]
+        return gpc_marginal_log_likelihood_lowrank(Phi, Y, Nv, sigma, newton_tol, newton_max_iter)
 
     def log_prior(theta):
         return _q0_logpdf(theta, mu0, s0)
@@ -120,6 +122,8 @@ def mult_t_posterior(
     tau: float = 2.0,
     mu0: float = 2.3,
     s0: float = 1.5,
+    newton_tol: float = 1e-5,
+    newton_max_iter: int = 100,
 ) -> TPosterior:
     """Joint SMC posterior over per-class log t for one-vs-rest multiclass.
 
@@ -133,20 +137,24 @@ def mult_t_posterior(
     aug_y = aug_y.astype(dtype)
     Nv = jnp.ones((m,), dtype)
 
+    V_idx = eigenpair.vectors[idx, :K]
+    lam = 1.0 - eigenpair.values[:K]
+
     def marginal(theta):
         ts = jnp.exp(theta)  # (J,)
 
         def one(args):
             t, yj = args
-            C = heat_kernel(eigenpair, t, K, idx, idx)
-            C = linalg.add_diag(C, jnp.full((m,), sigma, C.dtype))
-            return gpc_marginal_log_likelihood(C, yj, Nv)
+            Phi = V_idx * jnp.exp(-0.5 * t * lam)[None, :]
+            return gpc_marginal_log_likelihood_lowrank(
+                Phi, yj, Nv, sigma, newton_tol, newton_max_iter
+            )
 
-        # lax.map (not vmap): the SMC evaluates this under a vmap over all
-        # particles — vmapping the class axis too materializes
-        # particles × J (m, m) kernels at once (measured: HBM OOM / TPU
-        # worker crash at m=500, J=10, 64 particles).  Classes run
-        # sequentially; particles stay batched.
+        # lax.map (not vmap) over classes: the SMC evaluates this under a
+        # vmap over all particles, so a vmapped class axis multiplies peak
+        # memory by J (measured: HBM blowups at m=500, J=10, 64 particles
+        # with the dense marginal).  Classes run sequentially; particles
+        # stay batched.
         return jnp.sum(jax.lax.map(one, (ts, aug_y.T)))
 
     def log_prior(theta):

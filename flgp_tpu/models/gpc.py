@@ -88,6 +88,71 @@ def gpc_marginal_log_likelihood(
     return amll
 
 
+def gpc_marginal_log_likelihood_lowrank(
+    Phi: jnp.ndarray,
+    Y: jnp.ndarray,
+    N: jnp.ndarray,
+    sigma: float,
+    tol: float = 1e-5,
+    max_iter: int = 100,
+) -> jnp.ndarray:
+    """Laplace marginal for C = ΦΦᵀ + σI via the whitened K-dim Woodbury
+    dual — exact (same value as :func:`gpc_marginal_log_likelihood` on the
+    dense C, tested), but every Newton step costs O(mK² + K³) instead of
+    O(m³):
+
+        B = I + √W·C·√W = D + ΨΨᵀ,  D = diag(1+σW),  Ψ = √W·Φ
+        B⁻¹ = D⁻¹ − D⁻¹Ψ·S⁻¹·ΨᵀD⁻¹,  S = I_K + ΨᵀD⁻¹Ψ
+        log det B = Σ log d + log det S
+
+    This is what makes hyperparameter posteriors (SMC/NUTS over t) cheap at
+    large m: the reference's objective is the m×m primal
+    (src/train.cpp:716-760)."""
+    K = Phi.shape[1]
+    eyeK = jnp.eye(K, dtype=Phi.dtype)
+
+    def cov_vec(v):
+        return linalg.pdot(Phi, linalg.pdot(Phi.T, v[:, None]))[:, 0] + sigma * v
+
+    def newton_core(f):
+        pi = sigmoid(f)
+        W = N * pi * (1.0 - pi)
+        sqrt_W = jnp.sqrt(W)
+        d = 1.0 + sigma * W
+        b = W * f + (Y - N * pi)
+        h = sqrt_W * cov_vec(b)
+        wd = (W / d)[:, None] * Phi
+        S = eyeK + linalg.pdot(Phi.T, wd)
+        L_S = linalg.cholesky(S)
+        rhs = linalg.pdot(Phi.T, (sqrt_W * h / d)[:, None])[:, 0]
+        sol = linalg.chol_solve(L_S, rhs[:, None])[:, 0]
+        u = h / d - (sqrt_W / d) * linalg.pdot(Phi, sol[:, None])[:, 0]
+        a = b - sqrt_W * u
+        f_new = cov_vec(a)
+        logdet_half = 0.5 * jnp.sum(jnp.log(d)) + linalg.chol_logdet_half(L_S)
+        return f_new, a, logdet_half
+
+    f0 = jnp.zeros_like(Y)
+
+    def cond(st):
+        it, _, _, delta = st
+        return jnp.logical_and(it < max_iter, delta >= tol)
+
+    def body(st):
+        it, f, _, _ = st
+        f_new, a, logdet_half = newton_core(f)
+        delta = jnp.sum(jnp.abs(f - f_new))
+        return it + 1, f_new, (a, logdet_half), delta
+
+    zero = jnp.zeros((), Phi.dtype)
+    _, f, (a, logdet_half), _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), f0, (f0, zero), jnp.asarray(jnp.inf, Phi.dtype))
+    )
+    amll = -0.5 * jnp.sum(a * f)
+    amll = amll + jnp.sum(Y * jax.nn.log_sigmoid(f) + (N - Y) * jax.nn.log_sigmoid(-f))
+    return amll - logdet_half
+
+
 def gpc_nmll_objective(
     eigenpair: EigenPair,
     Y: jnp.ndarray,

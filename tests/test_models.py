@@ -211,3 +211,25 @@ class TestOptimizers:
         res = minimize_t_noise(fn, dtype=jnp.float64)
         np.testing.assert_allclose(float(jnp.log(res.t)), 0.5, atol=0.05)
         np.testing.assert_allclose(float(jnp.log(res.noise)), -1.0, atol=0.05)
+
+
+class TestLowRankGpcMarginal:
+    def test_matches_dense_marginal(self):
+        import numpy as np
+
+        from flgp_tpu.models.gpc import (
+            gpc_marginal_log_likelihood,
+            gpc_marginal_log_likelihood_lowrank,
+        )
+        from flgp_tpu.ops import linalg
+
+        rng = np.random.default_rng(0)
+        m, K, sigma = 40, 8, 1e-3
+        Phi = jnp.asarray(rng.normal(size=(m, K)) / np.sqrt(K))
+        Y = jnp.asarray((rng.uniform(size=m) > 0.5).astype(float))
+        N = jnp.ones((m,))
+        C = Phi @ Phi.T
+        C = linalg.add_diag(C, jnp.full((m,), sigma, C.dtype))
+        dense = gpc_marginal_log_likelihood(C, Y, N)
+        lowrank = gpc_marginal_log_likelihood_lowrank(Phi, Y, N, sigma)
+        np.testing.assert_allclose(float(lowrank), float(dense), rtol=1e-8)
