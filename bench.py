@@ -371,18 +371,27 @@ def bench_spectral_scale(report: MetricsReport):
     out["spectral_n1e6_mfu_pct"] = 100.0 * (flops / dt6) / 197e12
     out["spectral_n1e6_est_hbm_gbps"] = bytes_moved / dt6 / 1e9
 
-    # ---- n=1e7 graph+spectrum, single chip ------------------------------
+    # ---- n=1e7 graph+spectrum, single chip — feature-major layout --------
+    # Point-major (n, 3)/(n, r, d) arrays lane-pad to 128 on TPU (5.1–20.5 GB
+    # at n=1e7; the round-2 OOM).  The colmajor pipeline keeps the point axis
+    # minor end-to-end: peak HBM is the honest (n, K) eigenvector output.
+    from flgp_tpu.ops.colmajor import heat_kernel_spectrum_colmajor
+
     n2 = 10_000_000
-    X2 = jax.random.normal(jax.random.PRNGKey(8), (n2, d1), jnp.float32)
-    U2 = X2[:: n2 // s_big][:s_big]
-    X2w = jax.random.normal(jax.random.PRNGKey(9), (n2, d1), jnp.float32)
-    stage7 = jax.jit(graph_spectrum)
+    Xt2 = jax.random.normal(jax.random.PRNGKey(8), (d1, n2), jnp.float32)
+    U2 = Xt2[:, :: n2 // s_big][:, :s_big].T
+    Xt2w = jax.random.normal(jax.random.PRNGKey(9), (d1, n2), jnp.float32)
+    stage7 = jax.jit(
+        lambda Xt, U: heat_kernel_spectrum_colmajor(
+            Xt, U, 3, K_big, LaplacianType.NORMALIZED, True
+        )
+    )
     _mark("spectral1e7: compiling")
-    _fetch(stage7(X2w, U2).values)
+    _fetch(stage7(Xt2w, U2).values)
     _mark("spectral1e7: timing")
     with report.stage("spectral_n1e7"):
         t0 = time.perf_counter()
-        eig = stage7(X2, U2)
+        eig = stage7(Xt2, U2)
         _fetch(eig.values)
         out["spectral_stage_n1e7_s"] = time.perf_counter() - t0
     return out

@@ -24,9 +24,38 @@ class KnnResult(NamedTuple):
 def knn(X: jnp.ndarray, U: jnp.ndarray, r: int, block: int = 8192) -> KnnResult:
     """r nearest anchors (by squared Euclidean distance) for each row of X.
 
-    Ties are broken by anchor index (top_k is stable), matching partial_sort's
-    behavior on strict-weak ordering closely enough for downstream use.
+    On TPU lowerings with an anchor set that fits VMEM, dispatches to the
+    fused Pallas kernel (distances + top-r extraction never round-trip the
+    (block, s) tile to HBM); the XLA matmul+top_k path everywhere else.
+    Decided per-lowering via ``lax.platform_dependent``.
+
+    Ties are broken by anchor index (top_k is stable, and the fused kernel
+    extracts the first column achieving each minimum), matching
+    partial_sort's behavior on strict-weak ordering closely enough for
+    downstream use.
     """
+    import functools as _ft
+
+    from .pallas_kernels import _HAVE_PALLAS, fused_knn
+
+    s, d = U.shape
+    if (
+        _HAVE_PALLAS
+        and X.dtype == jnp.float32
+        and s <= 4096              # (512, s) distance tile + (s, d) anchors in VMEM
+        and d <= 256
+        and r <= 16
+    ):
+        return jax.lax.platform_dependent(
+            X, U,
+            tpu=_ft.partial(fused_knn, r=r, force=True),
+            default=_ft.partial(knn_xla, r=r, block=block),
+        )
+    return knn_xla(X, U, r, block)
+
+
+def knn_xla(X: jnp.ndarray, U: jnp.ndarray, r: int, block: int = 8192) -> KnnResult:
+    """Portable XLA kNN: blocked (n, s) distance matmul + ``lax.top_k``."""
     n = X.shape[0]
 
     def one_block(xb: jnp.ndarray) -> KnnResult:

@@ -45,22 +45,26 @@ def lae_weights(
     """Anchor-embedding weights, shape (n, r): row i solves the simplex LSQ
     over anchors[knn_idx[i]].
 
-    On TPU this dispatches to the fused Pallas FISTA kernel
+    On TPU lowerings this dispatches to the fused Pallas FISTA kernel
     (ops.pallas_kernels.fused_lae): the iteration loop is the dominant cost
     of the whole spectral stage under XLA (150 sequential HBM passes;
     measured 1.73 s of 2.19 s at n=1e6 on v5e), and the fused kernel runs it
-    in VMEM in a single pass.  Everywhere else: the XLA scan below."""
-    import jax as _jax
+    in VMEM in a single pass.  Everywhere else: the XLA scan below.
 
-    try:
-        on_tpu = _jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    if on_tpu and X.dtype == jnp.float32:
-        from .pallas_kernels import fused_lae
+    The choice is made per-lowering with ``lax.platform_dependent`` (not by
+    inspecting the process-default device at trace time), so a CPU mesh in a
+    TPU-default process — or a jit backend override — gets the right branch."""
+    import functools as _ft
 
-        return fused_lae(X, anchors, knn_idx, iters)
-    return lae_weights_xla(X, anchors, knn_idx, iters)
+    from .pallas_kernels import _HAVE_PALLAS, fused_lae
+
+    if not _HAVE_PALLAS or X.dtype != jnp.float32:
+        return lae_weights_xla(X, anchors, knn_idx, iters)
+    return jax.lax.platform_dependent(
+        X, anchors, knn_idx,
+        tpu=_ft.partial(fused_lae, iters=iters, force=True),
+        default=_ft.partial(lae_weights_xla, iters=iters),
+    )
 
 
 def lae_weights_xla(

@@ -74,14 +74,15 @@ def _knn_kernel(x_ref, u_ref, u2_ref, idx_ref, d_ref, *, r: int):
 
 
 def fused_knn(X: jnp.ndarray, U: jnp.ndarray, r: int, block: int = 512,
-              interpret: bool = False):
+              interpret: bool = False, force: bool = False):
     """TPU fused kNN; falls back to the matmul+top_k path off-TPU.
 
     ``interpret=True`` runs the kernel through the Pallas interpreter on any
-    backend (correctness tests off-hardware)."""
-    from .knn import knn as knn_fallback
+    backend (correctness tests off-hardware); ``force=True`` skips the
+    process-default platform check for ``lax.platform_dependent`` dispatch."""
+    from .knn import knn_xla as knn_fallback
 
-    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+    if not (_HAVE_PALLAS and (force or _on_tpu() or interpret)):
         return knn_fallback(X, U, r)
 
     n, d = X.shape
@@ -183,6 +184,87 @@ def _lae_fista_kernel(G_ref, b_ref, out_ref, *, r: int, iters: int):
         out_ref[k] = z[k].astype(out_ref.dtype)
 
 
+def assemble_lae_gram_t(
+    X: jnp.ndarray,
+    anchors: jnp.ndarray,
+    knn_idx: jnp.ndarray,
+    chunk: int = 1 << 17,
+) -> tuple:
+    """Feature-major FISTA inputs: Gt (r², n) = flattened U_iU_iᵀ Grams and
+    bt (r, n) = U_i·x linear terms, assembled in row chunks.
+
+    A single whole-n gather `anchors[knn_idx]` materializes an (n, r, d)
+    array whose tiny trailing dims tile-pad to (4, 128) lanes — 20.48 GB at
+    n=1e7, the round-2 bench OOM.  Chunking with lax.map keeps the padded
+    intermediates O(chunk); the (r², n)/(r, n) outputs carry the point axis
+    minor, so they pad nothing."""
+    n, r = knn_idx.shape
+    d = X.shape[1]
+
+    def one(args):
+        xc, ic = args
+        Ui = anchors[ic]                          # (chunk, r, d)
+        G = jnp.einsum(
+            "nrd,nsd->nrs", Ui, Ui, precision=jax.lax.Precision.HIGHEST
+        ).reshape(ic.shape[0], r * r)
+        b = jnp.einsum("nd,nrd->nr", xc, Ui, precision=jax.lax.Precision.HIGHEST)
+        return G.T.astype(jnp.float32), b.T.astype(jnp.float32)
+
+    if n <= chunk:
+        return one((X, knn_idx))
+
+    pad = (-n) % chunk
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    Ip = jnp.pad(knn_idx, ((0, pad), (0, 0)))
+    Gs, bs = jax.lax.map(
+        one,
+        (Xp.reshape(-1, chunk, d), Ip.reshape(-1, chunk, r)),
+    )                                             # (nch, r², chunk), (nch, r, chunk)
+    Gt = jnp.moveaxis(Gs, 0, 1).reshape(r * r, -1)[:, :n]
+    bt = jnp.moveaxis(bs, 0, 1).reshape(r, -1)[:, :n]
+    return Gt, bt
+
+
+def fused_lae_tiles(
+    Gt: jnp.ndarray,
+    bt: jnp.ndarray,
+    out_dtype,
+    iters: int = 150,
+    block: int = 32768,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused FISTA kernel on pre-assembled feature-major inputs:
+    Gt (r², n) f32, bt (r, n) f32 → weights (r, n).  This is the shared tail
+    of ``fused_lae`` and the column-major huge-n pipeline (ops.colmajor)."""
+    rsq, n = Gt.shape
+    r = bt.shape[0]
+    # small problems: shrink the block to the 128-padded point count so a
+    # 4800-row fit doesn't pad (and compile) at 32768 rows
+    block = min(block, ((n + 127) // 128) * 128)
+    pad = (-n) % block
+    if pad:
+        Gt = jnp.pad(Gt, ((0, 0), (0, pad)))
+        bt = jnp.pad(bt, ((0, 0), (0, pad)))
+    n_pad = Gt.shape[1]
+    # (c, n) → (c, n/128, 128): the point axis becomes full tiles
+    Gtt = Gt.reshape(rsq, n_pad // 128, 128)
+    btt = bt.reshape(r, n_pad // 128, 128)
+    S = block // 128
+
+    out = pl.pallas_call(
+        functools.partial(_lae_fista_kernel, r=r, iters=iters),
+        grid=(n_pad // block,),
+        in_specs=[
+            pl.BlockSpec((rsq, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, n_pad // 128, 128), out_dtype),
+        interpret=interpret,
+    )(Gtt, btt)
+    return out.reshape(r, n_pad)[:, :n]
+
+
 def fused_lae(
     X: jnp.ndarray,
     anchors: jnp.ndarray,
@@ -190,51 +272,24 @@ def fused_lae(
     iters: int = 150,
     block: int = 32768,
     interpret: bool = False,
+    force: bool = False,
 ) -> jnp.ndarray:
     """TPU fused LAE weights (one HBM pass); jnp scan fallback elsewhere.
 
-    The Gram G = U_iU_iᵀ and linear term b = U_i·x are assembled by XLA (a
-    single fused gather+einsum pass) and transposed so the point axis fills
-    whole (sublane, lane) tiles; the kernel owns the iteration loop."""
+    The Gram/linear terms are assembled by XLA in row chunks (see
+    ``assemble_lae_gram_t`` for why) directly into the feature-major layout;
+    the kernel owns the iteration loop.  ``force=True`` skips the
+    process-default platform check — used by the per-lowering
+    ``lax.platform_dependent`` dispatch in ops.lae."""
     from .lae import lae_weights_xla
 
-    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+    if not (_HAVE_PALLAS and (force or _on_tpu() or interpret)):
         return lae_weights_xla(X, anchors, knn_idx, iters)
 
     n, r = knn_idx.shape
-    Ui = anchors[knn_idx]                        # (n, r, d)
-    G = jnp.einsum(
-        "nrd,nsd->nrs", Ui, Ui, precision=jax.lax.Precision.HIGHEST
-    ).reshape(n, r * r).astype(jnp.float32)
-    b = jnp.einsum(
-        "nd,nrd->nr", X, Ui, precision=jax.lax.Precision.HIGHEST
-    ).astype(jnp.float32)
-
-    # small problems: shrink the block to the 128-padded row count so a
-    # 4800-row fit doesn't pad (and compile) at 32768 rows
-    block = min(block, ((n + 127) // 128) * 128)
-    pad = (-n) % block
-    if pad:
-        G = jnp.pad(G, ((0, pad), (0, 0)))
-        b = jnp.pad(b, ((0, pad), (0, 0)))
-    n_pad = G.shape[0]
-    # (n, c) → (c, n/128, 128): the point axis becomes full tiles
-    Gt = G.T.reshape(r * r, n_pad // 128, 128)
-    bt = b.T.reshape(r, n_pad // 128, 128)
-    S = block // 128
-
-    out = pl.pallas_call(
-        functools.partial(_lae_fista_kernel, r=r, iters=iters),
-        grid=(n_pad // block,),
-        in_specs=[
-            pl.BlockSpec((r * r, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r, S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, n_pad // 128, 128), X.dtype),
-        interpret=interpret,
-    )(Gt, bt)
-    return out.reshape(r, n_pad).T[:n]
+    Gt, bt = assemble_lae_gram_t(X, anchors, knn_idx)
+    out = fused_lae_tiles(Gt, bt, X.dtype, iters=iters, block=block, interpret=interpret)
+    return out.T
 
 
 # ---------------------------------------------------------------------------
