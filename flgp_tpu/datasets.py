@@ -78,10 +78,14 @@ def torus_rings_r(seed: int = 1234) -> Split:
     return Split(X[tr], Y[tr], X[te], Y[te])
 
 
-def spiral_r(seed: int = 1234) -> Split:
+def spiral_r(seed: int = 1234, return_rng: bool = False):
     """Bit-exact reproduction of the README regression example
     (/root/reference/README.md:115-140): same R stream for theta, the
-    train/test split, and the N(0,1) observation noise."""
+    train/test split, and the N(0,1) observation noise.
+
+    ``return_rng=True`` additionally returns the RRng positioned exactly
+    where the README script's first fit call begins — the anchor draws of
+    the subsequent ``stats::kmeans`` callbacks continue from there."""
     from .utils.r_rng import RRng
 
     n, m = 4000, 200
@@ -93,7 +97,31 @@ def spiral_r(seed: int = 1234) -> Split:
     tr = r.sample_int(n, m) - 1
     te = np.setdiff1d(np.arange(n), tr)
     y_train = Y[tr] + r.rnorm(m, 0.0, 1.0)
-    return Split(X[tr], y_train, X[te], Y[te])
+    split = Split(X[tr], y_train, X[te], Y[te])
+    return (split, r) if return_rng else split
+
+
+def spiral_r_anchors(seed: int = 1234, s: int = 500):
+    """The EXACT anchor sets (centers + cluster sizes) the reference README
+    regression fits used, by replaying the R session RNG.
+
+    The README script (README.Rmd:119-160) runs, on one stream:
+    data generation → split → noise → ``fit_se_regression_gp_rcpp`` →
+    ``fit_lae_regression_gp_rcpp``.  Each fit's only session-RNG consumption
+    is its ``stats::kmeans(X_all, s, iter.max=100)`` callback
+    (src/Utils.cpp:37-42): one ``sample.int(n, s)`` initial-center draw, then
+    deterministic Hartigan–Wong (RSpectra's Lanczos seeds its own internal
+    generator and NLopt is deterministic).  Returns
+    ``{"se": (centers, sizes), "lae": (centers, sizes)}`` where X_all is the
+    fit drivers' [train; test] row order (src/Fit.cpp:123-126)."""
+    from .utils.r_kmeans import r_kmeans
+
+    ds, rng = spiral_r(seed, return_rng=True)
+    X_all = np.concatenate([ds.x_train, ds.x_test])
+    out = {}
+    out["se"] = r_kmeans(rng, X_all, s, iter_max=100)
+    out["lae"] = r_kmeans(rng, X_all, s, iter_max=100)
+    return out
 
 
 def digits(m_train: int = 300, seed: int = 0) -> Split:

@@ -265,11 +265,23 @@ def _instrumented_lae_fit(key, X_all, Y, N, cfg: FitConfig, m, n, max_count, tas
 # ---------------------------------------------------------------------------
 
 
+def _as_anchors(anchors, dtype):
+    """Normalize a user-provided anchor override — a SubsampleResult or a
+    (centers, sizes) pair (e.g. datasets.spiral_r_anchors) — to the
+    SubsampleResult the spectral builders consume."""
+    if anchors is None:
+        return None
+    from ..ops.kmeans import SubsampleResult
+
+    centers, counts = anchors
+    return SubsampleResult(jnp.asarray(centers, dtype), jnp.asarray(counts, dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n"))
-def _lae_regression_impl(key, X_all, Y, cfg: FitConfig, m: int, n: int):
+def _lae_regression_impl(key, X_all, Y, cfg: FitConfig, m: int, n: int, anchors=None):
     g = dataclasses.replace(cfg.graph, kernel=KernelType.LAE)
     K = min(g.resolved_K(), g.s, n)
-    eig, _ = spectral.build_spectrum(key, X_all, g)
+    eig, _ = spectral.build_spectrum(key, X_all, g, anchors)
     scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
     res = _train_gpr(seig, Ys, jnp.arange(m), K, scfg)
     out = _gpr_tail(seig, Ys, m, n, K, scfg, res.t, res.noise)
@@ -277,13 +289,14 @@ def _lae_regression_impl(key, X_all, Y, cfg: FitConfig, m: int, n: int):
 
 
 def fit_lae_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5),
-                          report=None) -> FitResult:
+                          report=None, anchors=None) -> FitResult:
     """GPR with the LAE kernel (src/Fit.cpp:20-99).
 
     Passing a ``utils.metrics.MetricsReport`` as ``report`` runs the pipeline
     as separately-jitted stages and returns per-stage wall-clock + solver
     residuals in ``FitResult.metrics`` (slightly slower than the fused
-    default: three dispatches instead of one)."""
+    default: three dispatches instead of one).  ``anchors``: optional
+    (centers, sizes) override of the subsampler (exact-parity runs)."""
     cfg = _resolve(cfg, "regression")
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
@@ -291,16 +304,19 @@ def fit_lae_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-
         return _instrumented_lae_fit(
             key, X_all, Y, None, cfg, m, n, 1, "regression", report
         )
-    out, res, eig = _lae_regression_impl(key, X_all, Y, cfg, m, n)
+    out, res, eig = _lae_regression_impl(
+        key, X_all, Y, cfg, m, n, _as_anchors(anchors, cfg.dtype)
+    )
     return _to_result(out, dict(t=res.t, noise=res.noise), -res.obj, eig)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "max_count"))
-def _lae_logit_impl(key, X_all, Y, N, cfg: FitConfig, m: int, n: int, max_count: int):
+def _lae_logit_impl(key, X_all, Y, N, cfg: FitConfig, m: int, n: int, max_count: int,
+                    anchors=None):
     g = dataclasses.replace(cfg.graph, kernel=KernelType.LAE)
     K = min(g.resolved_K(), g.s, n)
     k_spec, k_pg = jax.random.split(key)
-    eig, _ = spectral.build_spectrum(k_spec, X_all, g)
+    eig, _ = spectral.build_spectrum(k_spec, X_all, g, anchors)
     scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
     res = _train_gpc(seig, Ys, Ns, jnp.arange(m), K, scfg)
     out = _gpc_tail(k_pg, seig, Ys, Ns, m, n, K, scfg, res.x, max_count)
@@ -308,10 +324,11 @@ def _lae_logit_impl(key, X_all, Y, N, cfg: FitConfig, m: int, n: int, max_count:
 
 
 def fit_lae_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig(),
-                     report=None) -> FitResult:
+                     report=None, anchors=None) -> FitResult:
     """Binary GPC with the LAE kernel (src/Fit.cpp:521-605).
 
-    ``report``: optional MetricsReport — see fit_lae_regression_gp."""
+    ``report``: optional MetricsReport — see fit_lae_regression_gp.
+    ``anchors``: optional (centers, sizes) subsampler override."""
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
     if N is None:
@@ -324,7 +341,9 @@ def fit_lae_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig(),
         return _instrumented_lae_fit(
             key, X_all, Y, N_arr, cfg, m, n, max_count, "logit", report
         )
-    out, res, eig = _lae_logit_impl(key, X_all, Y, N_arr, cfg, m, n, max_count)
+    out, res, eig = _lae_logit_impl(
+        key, X_all, Y, N_arr, cfg, m, n, max_count, _as_anchors(anchors, cfg.dtype)
+    )
     return _to_result(out, dict(t=res.x), -res.obj, eig)
 
 
@@ -334,10 +353,10 @@ def fit_lae_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig(),
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n"))
-def _se_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
+def _se_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, anchors=None):
     g = cfg.graph
     K = min(g.resolved_K(), g.s, n)
-    basis = spectral.se_grid_setup(key, X_all, g)
+    basis = spectral.se_grid_setup(key, X_all, g, anchors)
     idx = jnp.arange(m)
 
     def per_a2(a2):
@@ -355,21 +374,25 @@ def _se_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
     return out, res, a2s[best], eig
 
 
-def fit_se_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5)) -> FitResult:
+def fit_se_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5),
+                         anchors=None) -> FitResult:
     """GPR with the SE kernel and bandwidth grid search (src/Fit.cpp:102-219)."""
     cfg = _resolve(cfg, "regression")
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
-    out, res, best_a2, eig = _se_regression_impl(key, X_all, Y, _a2_grid(cfg), cfg, m, n)
+    out, res, best_a2, eig = _se_regression_impl(
+        key, X_all, Y, _a2_grid(cfg), cfg, m, n, _as_anchors(anchors, cfg.dtype)
+    )
     return _to_result(out, dict(t=res.t, noise=res.noise, a2=best_a2), -res.obj, eig)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "max_count"))
-def _se_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, max_count: int):
+def _se_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, max_count: int,
+                   anchors=None):
     g = cfg.graph
     K = min(g.resolved_K(), g.s, n)
     k_spec, k_pg = jax.random.split(key)
-    basis = spectral.se_grid_setup(k_spec, X_all, g)
+    basis = spectral.se_grid_setup(k_spec, X_all, g, anchors)
     idx = jnp.arange(m)
 
     def per_a2(a2):
@@ -387,7 +410,8 @@ def _se_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, max_co
     return out, res, a2s[best], eig
 
 
-def fit_se_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig()) -> FitResult:
+def fit_se_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig(),
+                    anchors=None) -> FitResult:
     """Binary GPC with the SE kernel and bandwidth grid (src/Fit.cpp:669-793)."""
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
@@ -397,7 +421,10 @@ def fit_se_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig()) -> F
     else:
         N_arr = jnp.asarray(N, cfg.dtype)
         max_count = int(np.max(np.asarray(N)))
-    out, res, best_a2, eig = _se_logit_impl(key, X_all, Y, N_arr, _a2_grid(cfg), cfg, m, n, max_count)
+    out, res, best_a2, eig = _se_logit_impl(
+        key, X_all, Y, N_arr, _a2_grid(cfg), cfg, m, n, max_count,
+        _as_anchors(anchors, cfg.dtype),
+    )
     return _to_result(out, dict(t=res.x, a2=best_a2), -res.obj, eig)
 
 

@@ -24,10 +24,19 @@ from ..types import EigenPair, EllMatrix
 
 
 def build_spectrum(
-    key: jax.Array, X_all: jnp.ndarray, g: GraphConfig
+    key: jax.Array,
+    X_all: jnp.ndarray,
+    g: GraphConfig,
+    anchors: SubsampleResult | None = None,
 ) -> Tuple[EigenPair, SubsampleResult]:
-    """Subsample → cross-similarity → spectrum (src/Spectrum.cpp:48-76)."""
-    sub = subsample(key, X_all, g.s, g.subsample, g.nstart, g.kmeans_iters)
+    """Subsample → cross-similarity → spectrum (src/Spectrum.cpp:48-76).
+
+    ``anchors`` overrides the subsampler with a precomputed (centers, counts)
+    pair — e.g. the exact R-session Hartigan–Wong draw for parity runs
+    (datasets.spiral_r_anchors)."""
+    sub = anchors if anchors is not None else subsample(
+        key, X_all, g.s, g.subsample, g.nstart, g.kmeans_iters
+    )
     K = g.resolved_K()
     if g.kernel == KernelType.LAE:
         Z = cross_similarity_lae(X_all, sub.centers, g.r, g.gl, sub.counts)
@@ -44,9 +53,18 @@ class SeGridBasis(NamedTuple):
     sub: SubsampleResult
 
 
-def se_grid_setup(key: jax.Array, X_all: jnp.ndarray, g: GraphConfig) -> SeGridBasis:
-    """One-time kNN for the SE bandwidth grid (src/Fit.cpp:126-131)."""
-    sub = subsample(key, X_all, g.s, g.subsample, g.nstart, g.kmeans_iters)
+def se_grid_setup(
+    key: jax.Array,
+    X_all: jnp.ndarray,
+    g: GraphConfig,
+    anchors: SubsampleResult | None = None,
+) -> SeGridBasis:
+    """One-time kNN for the SE bandwidth grid (src/Fit.cpp:126-131).
+
+    ``anchors`` as in build_spectrum."""
+    sub = anchors if anchors is not None else subsample(
+        key, X_all, g.s, g.subsample, g.nstart, g.kmeans_iters
+    )
     res = knn(X_all, sub.centers, g.r)
     n, r = res.indices.shape
     dist_mean = jnp.sum(res.sqdists) / (n * r)
