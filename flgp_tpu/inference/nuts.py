@@ -23,6 +23,7 @@ from .hmc import (
     da_init,
     da_update,
     init_state,
+    windowed_warmup,
 )
 
 LogProbFn = Callable[[jnp.ndarray], jnp.ndarray]
@@ -306,25 +307,11 @@ def run_nuts(
 
     def one_chain(key, x0_c):
         state = init_state(logprob, x0_c)
-        inv_mass0 = jnp.ones((dim,), dtype)
-        k_init, k_warm, k_main = jax.random.split(key, 3)
-        step0 = _find_reasonable_step(logprob, state, inv_mass0, k_init, dtype)
-        da0 = da_init(step0)
-
-        def warm_body(carry, k):
-            state, da, inv_mass = carry
-            state, ap = nuts_kernel(logprob, k, state, jnp.exp(da.log_step), inv_mass, max_depth)
-            da = da_update(da, ap, target_accept)
-            return (state, da, inv_mass), state.x
-
-        (state, da, _), warm_draws = jax.lax.scan(
-            warm_body, (state, da0, inv_mass0), jax.random.split(k_warm, n_warmup)
+        k_warm, k_main = jax.random.split(key)
+        kernel = lambda k, st, step, im: nuts_kernel(logprob, k, st, step, im, max_depth)
+        state, step, inv_mass = windowed_warmup(
+            kernel, logprob, k_warm, state, n_warmup, target_accept, dtype
         )
-        half = warm_draws[n_warmup // 2:]
-        var = jnp.var(half, axis=0)
-        w = half.shape[0]
-        inv_mass = (w / (w + 5.0)) * var + 1e-3 * (5.0 / (w + 5.0))
-        step = jnp.exp(da.log_step_avg)
 
         def main_body(state, k):
             state, ap = nuts_kernel(logprob, k, state, step, inv_mass, max_depth)
