@@ -43,7 +43,9 @@ def init_distributed(
     on_tpu_pod = any(v in os.environ for v in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
     if coordinator_address is None and num_processes is None and not on_tpu_pod:
         return False
-    if jax.process_count() > 1:  # already initialized
+    # idempotence probe that does NOT touch the XLA backend (jax.process_count
+    # would initialize it, after which jax.distributed.initialize refuses)
+    if jax.distributed.is_initialized():
         return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
