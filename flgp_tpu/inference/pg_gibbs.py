@@ -25,18 +25,43 @@ class PGChainState(NamedTuple):
     omega: jnp.ndarray   # (m,) PG auxiliaries
 
 
-def _resample_f(key, C, kappa, omega):
-    """f | ω draw (src/PGLogitModel.cpp:25-39)."""
+def _resample_f(key, C, L_C, kappa, omega):
+    """f | ω draw via Matheron's rule — ONE m×m Cholesky per sweep.
+
+    The conditional is N(μ, Σ) with Σ = C − C√ω B⁻¹√ω C, μ = Σκ,
+    B = √ωC√ω + I (GPML Eq 3.27 / src/PGLogitModel.cpp:25-39, one LLT per
+    sweep in the reference).  Factoring Σ directly costs a second Cholesky
+    plus two m×m products; instead draw the zero-mean part as
+
+        f₀ = g − C√ω B⁻¹(√ω g + u),   g = L_C ε₁ ~ N(0, C),  u = ε₂ ~ N(0, I)
+
+    whose covariance telescopes to exactly Σ (checked ANALYTICALLY via the
+    Jacobian in tests/test_inference.py), and μ = Cκ − C√ω B⁻¹ √ω(Cκ).
+    L_C = chol(C) is computed once for the whole chain; per sweep this costs
+    one chol(B) + solves — matching the reference's per-sweep LLT count with
+    none of its Σ assembly.  No ω division anywhere, so tiny PG draws
+    (ω → 0 at large |f|) stay f32-safe."""
+    k1, k2 = jax.random.split(key)
     m = kappa.shape[0]
+    eps1 = jax.random.normal(k1, (m,), C.dtype)
+    eps2 = jax.random.normal(k2, (m,), C.dtype)
+    return _conditional_draw(C, L_C, kappa, omega, eps1, eps2)
+
+
+def _conditional_draw(C, L_C, kappa, omega, eps1, eps2):
+    """The deterministic linear map behind the Matheron draw — exposed so the
+    test can check Cov = Σ exactly through its Jacobian."""
     sqrt_om = jnp.sqrt(omega)
     B = linalg.add_diag(sqrt_om[:, None] * C * sqrt_om[None, :], jnp.ones((), C.dtype))
     L_B = linalg.cholesky(B)
-    sigma_post = C - linalg.pdot(C, sqrt_om[:, None] * linalg.chol_solve(L_B, sqrt_om[:, None] * C))
-    mu_post = linalg.pdot(sigma_post, kappa[:, None])[:, 0]
-    # jitter for the posterior-covariance factorization (near-singular when ω large)
-    L_post = linalg.cholesky(linalg.add_diag(sigma_post, jnp.full((m,), 1e-10, C.dtype)))
-    eps = jax.random.normal(key, (m,), C.dtype)
-    return mu_post + linalg.pdot(L_post, eps[:, None])[:, 0]
+
+    a = linalg.pdot(C, kappa[:, None])[:, 0]
+    mu = a - linalg.pdot(C, (sqrt_om * linalg.chol_solve(L_B, (sqrt_om * a)[:, None])[:, 0])[:, None])[:, 0]
+
+    g = linalg.pdot(L_C, eps1[:, None])[:, 0]
+    c = linalg.chol_solve(L_B, (sqrt_om * g + eps2)[:, None])[:, 0]
+    f0 = g - linalg.pdot(C, (sqrt_om * c)[:, None])[:, 0]
+    return mu + f0
 
 
 def pg_gibbs_chain(
@@ -56,10 +81,11 @@ def pg_gibbs_chain(
     if N is None:
         N = jnp.ones((m,), dtype=C.dtype)
     kappa = Y - N / 2.0
+    L_C = linalg.cholesky(linalg.add_diag(C, jnp.full((m,), 1e-10, C.dtype)))
 
     def sweep(state: PGChainState, k):
         k_f, k_om = jax.random.split(k)
-        f = _resample_f(k_f, C, kappa, state.omega)
+        f = _resample_f(k_f, C, L_C, kappa, state.omega)
         if max_count == 1:
             omega = polya_gamma(k_om, f)
         else:
@@ -140,10 +166,11 @@ def pg_gibbs_chain_trace(
     if N is None:
         N = jnp.ones((m,), dtype=C.dtype)
     kappa = Y - N / 2.0
+    L_C = linalg.cholesky(linalg.add_diag(C, jnp.full((m,), 1e-10, C.dtype)))
 
     def sweep(state: PGChainState, k):
         k_f, k_om = jax.random.split(k)
-        f = _resample_f(k_f, C, kappa, state.omega)
+        f = _resample_f(k_f, C, L_C, kappa, state.omega)
         if max_count == 1:
             omega = polya_gamma(k_om, f)
         else:

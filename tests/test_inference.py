@@ -217,6 +217,40 @@ class TestDiagnostics:
         assert r[0] > 1.5
 
 
+class TestMatheronConditionalDraw:
+    """The single-Cholesky f | ω draw is EXACTLY N(μ, Σ): the map is linear
+    in (ε₁, ε₂), so its Jacobian gives the covariance analytically — no
+    Monte-Carlo tolerance needed."""
+
+    def test_mean_and_covariance_exact(self, rng):
+        from flgp_tpu.inference.pg_gibbs import _conditional_draw
+        from flgp_tpu.ops import linalg
+
+        m = 12
+        A = rng.normal(size=(m, 5))
+        C = jnp.asarray(A @ A.T / 5 + 0.1 * np.eye(m))
+        omega = jnp.asarray(rng.gamma(2.0, 0.5, size=m))
+        Y = (rng.uniform(size=m) > 0.5).astype(float)
+        kappa = jnp.asarray(Y - 0.5)
+        L_C = linalg.cholesky(C)
+
+        # dense oracle: Σ = C − C√ωB⁻¹√ωC, μ = Σκ (GPML Eq 3.27)
+        sq = np.sqrt(np.asarray(omega))
+        Cn = np.asarray(C)
+        B = sq[:, None] * Cn * sq[None, :] + np.eye(m)
+        Sigma = Cn - Cn @ (sq[:, None] * np.linalg.solve(B, sq[:, None] * Cn))
+        mu = Sigma @ np.asarray(kappa)
+
+        zero = jnp.zeros((m,))
+        f_mu = _conditional_draw(C, L_C, kappa, omega, zero, zero)
+        np.testing.assert_allclose(np.asarray(f_mu), mu, atol=1e-9)
+
+        J1 = jax.jacobian(lambda e: _conditional_draw(C, L_C, kappa, omega, e, zero))(zero)
+        J2 = jax.jacobian(lambda e: _conditional_draw(C, L_C, kappa, omega, zero, e))(zero)
+        cov = np.asarray(J1 @ J1.T + J2 @ J2.T)
+        np.testing.assert_allclose(cov, Sigma, atol=1e-9)
+
+
 class TestRaoBlackwellPredictor:
     def test_avg_zero_is_reference_semantics(self, rng, key):
         from flgp_tpu.inference import pg_gibbs
