@@ -137,7 +137,9 @@ class TrainConfig:
     noise: NoiseModel = NoiseModel.SAME
     t0: float = 10.0
     t_lb: float = 1e-3                 # src/train.cpp lb for t
-    t_ub: float = 1e4                  # grid-scan upper bound (COBYLA is unbounded above)
+    t_ub: float = 1e4                  # INITIAL scan window top — the 1-D optimizer
+                                       # expands above it when the optimum pins there
+                                       # (reference COBYLA ub=inf, src/train.cpp:45-58)
     noise0: float = 1.0
     noise_lb: float = 1e-4             # src/train.cpp lb for noise
     # t-prior  p*log t + (t/tau)^(-q)   (src/train.h:136-156)

@@ -26,7 +26,7 @@ from . import spectral
 @functools.partial(jax.jit, static_argnames=("g", "m", "n"))
 def _hk_cov_impl(key, X_all, t, g: GraphConfig, m: int, n: int):
     eig, _ = spectral.build_spectrum(key, X_all, g)
-    K = min(g.resolved_K(), n)
+    K = min(g.resolved_K(), g.s, n)
     idx0 = jnp.arange(n)
     idx1 = jnp.arange(m)
     return heat_kernel(eig, t, K, idx0, idx1)

@@ -77,7 +77,7 @@ def _posterior_mult(eigenpair: EigenPair, aug_y, ts, idx, idx_new, K: int, sigma
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "J"))
 def _lae_mult_impl(key, X_all, Y, cfg: FitConfig, m: int, n: int, J: int):
     g = dataclasses.replace(cfg.graph, kernel=KernelType.LAE)
-    K = min(g.resolved_K(), n)
+    K = min(g.resolved_K(), g.s, n)
     k_spec, k_pg = jax.random.split(key)
     eig, _ = spectral.build_spectrum(k_spec, X_all, g)
     idx = jnp.arange(m)
@@ -109,7 +109,7 @@ def fit_lae_logit_mult_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig()) -> Fit
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "J"))
 def _se_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: int):
     g = cfg.graph
-    K = min(g.resolved_K(), n)
+    K = min(g.resolved_K(), g.s, n)
     k_spec, k_pg = jax.random.split(key)
     basis = spectral.se_grid_setup(k_spec, X_all, g)
     idx = jnp.arange(m)

@@ -23,7 +23,7 @@ import numpy as np
 from ..config import FitConfig, default_a2s
 from ..utils.checkpoint import load_pytree, save_pytree, save_spectrum
 from . import spectral
-from .drivers import FitResult, _gpr_tail, _to_result, _train_gpr
+from .drivers import FitResult, _gpr_tail, _solve_cast, _to_result, _train_gpr
 
 
 def fit_se_regression_gp_resumable(
@@ -53,7 +53,8 @@ def fit_se_regression_gp_resumable(
     @jax.jit
     def train_at(a2):
         eig = spectral.se_spectrum_at(basis, a2, g)
-        res = _train_gpr(eig, Y, idx, K, cfg)
+        scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
+        res = _train_gpr(seig, Ys, idx, K, scfg)
         return res.t, res.noise, res.obj
 
     results = []
@@ -61,8 +62,12 @@ def fit_se_regression_gp_resumable(
         path = os.path.join(ckpt_dir, f"a2_{i}")
         if os.path.isdir(path):
             tree = load_pytree(path)
-            results.append((float(tree["t"]), float(tree["noise"]), float(tree["obj"])))
-            continue
+            stored = float(np.asarray(tree.get("a2", np.nan)))
+            # a checkpoint keyed only by index silently goes stale when
+            # cfg.a2s changes between runs — trust it only for the same a2
+            if np.isfinite(stored) and abs(stored - float(a2)) <= 1e-12 * max(1.0, abs(float(a2))):
+                results.append((float(tree["t"]), float(tree["noise"]), float(tree["obj"])))
+                continue
         t, noise, obj = train_at(jnp.asarray(a2, dtype))
         results.append((float(t), float(noise), float(obj)))
         save_pytree(path, {"t": t, "noise": noise, "obj": obj, "a2": a2})
@@ -72,7 +77,11 @@ def fit_se_regression_gp_resumable(
     eig = spectral.se_spectrum_at(basis, jnp.asarray(a2s[best], dtype), g)
     save_spectrum(os.path.join(ckpt_dir, "best_spectrum"), eig,
                   basis.sub.centers, basis.sub.counts)
-    out = _gpr_tail(eig, Y, m, n, K, cfg, jnp.asarray(t, dtype), jnp.asarray(noise, dtype))
+    scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
+    out = _gpr_tail(
+        seig, Ys, m, n, K, scfg,
+        jnp.asarray(t, scfg.dtype), jnp.asarray(noise, scfg.dtype),
+    )
     return _to_result(
         out, dict(t=t, noise=noise, a2=a2s[best]), -obj, eig
     )

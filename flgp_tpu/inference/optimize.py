@@ -39,8 +39,13 @@ def minimize_1d_log(
     refine_rounds: int = 8,
     refine_width: int = 8,
     dtype=jnp.float32,
+    max_expand: int = 4,
 ) -> Scalar1DResult:
-    """Minimize fn over [lo, hi]: log-spaced grid + vectorized refinement.
+    """Minimize fn over [lo, hi]: log-spaced grid + vectorized refinement,
+    UNBOUNDED ABOVE like the reference's COBYLA (ub=∞,
+    src/train.cpp:45-58): whenever the optimum pins to the top of the scan
+    window, the whole window shifts up by its own log-span (≤ ``max_expand``
+    times), so [hi] is an initial guess, not a clamp.
 
     Both stages are batched: the coarse grid is one vmap, and each refinement
     round re-grids the bracketing cell with ``refine_width`` points in one
@@ -52,33 +57,48 @@ def minimize_1d_log(
     src/train.cpp:52-58)."""
     lo_l = jnp.log(jnp.asarray(lo, dtype))
     hi_l = jnp.log(jnp.asarray(hi, dtype))
-    ts = jnp.logspace(jnp.log10(jnp.asarray(lo, dtype)), jnp.log10(jnp.asarray(hi, dtype)), n_grid)
-    vals = jax.vmap(fn)(ts)
-    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
-    i = jnp.argmin(vals)
-    log_ts = jnp.log(ts)
-    a = log_ts[jnp.maximum(i - 1, 0)]
-    b = log_ts[jnp.minimum(i + 1, n_grid - 1)]
-
     g = lambda u: fn(jnp.exp(u))
+
+    def scan_window(a_l, b_l):
+        us = jnp.linspace(a_l, b_l, n_grid)
+        fs = jax.vmap(g)(us)
+        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        return us, fs, jnp.argmin(fs)
+
+    us, fs, i = scan_window(lo_l, hi_l)
+    span = hi_l - lo_l
+
+    def exp_cond(c):
+        _, _, i, rounds = c
+        return jnp.logical_and(i == n_grid - 1, rounds < max_expand)
+
+    def exp_body(c):
+        us, _, _, rounds = c
+        us2, fs2, i2 = scan_window(us[-1], us[-1] + span)
+        return us2, fs2, i2, rounds + 1
+
+    us, fs, i, _ = jax.lax.while_loop(exp_cond, exp_body, (us, fs, i, jnp.int32(0)))
+    wa, wb = us[0], us[-1]
+    a = us[jnp.maximum(i - 1, 0)]
+    b = us[jnp.minimum(i + 1, n_grid - 1)]
     w = refine_width
 
     def round_body(carry, _):
         a, b, best_u, best_f = carry
-        us = jnp.linspace(a, b, w)
-        fs = jax.vmap(g)(us)
-        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
-        j = jnp.argmin(fs)
-        improved = fs[j] < best_f
-        best_u = jnp.where(improved, us[j], best_u)
-        best_f = jnp.where(improved, fs[j], best_f)
+        uu = jnp.linspace(a, b, w)
+        ff = jax.vmap(g)(uu)
+        ff = jnp.where(jnp.isfinite(ff), ff, jnp.inf)
+        j = jnp.argmin(ff)
+        improved = ff[j] < best_f
+        best_u = jnp.where(improved, uu[j], best_u)
+        best_f = jnp.where(improved, ff[j], best_f)
         h = (b - a) / (w - 1)
-        a2 = jnp.clip(us[j] - h, lo_l, hi_l)
-        b2 = jnp.clip(us[j] + h, lo_l, hi_l)
+        a2 = jnp.clip(uu[j] - h, wa, wb)
+        b2 = jnp.clip(uu[j] + h, wa, wb)
         return (a2, b2, best_u, best_f), None
 
     (a, b, best_u, best_f), _ = jax.lax.scan(
-        round_body, (a, b, log_ts[i], vals[i]), None, length=refine_rounds
+        round_body, (a, b, us[i], fs[i]), None, length=refine_rounds
     )
     return Scalar1DResult(jnp.exp(best_u), best_f)
 

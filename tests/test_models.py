@@ -200,7 +200,15 @@ class TestPgGibbs:
 class TestOptimizers:
     def test_1d_quadratic(self):
         res = minimize_1d_log(lambda t: (jnp.log(t) - 1.0) ** 2, lo=1e-2, hi=1e3, dtype=jnp.float64)
-        np.testing.assert_allclose(float(res.x), np.e, rtol=1e-3)
+        np.testing.assert_allclose(float(res.x), np.e, rtol=1e-4)
+
+    def test_expands_above_initial_window(self):
+        # optimum at t = 5e4, window top 1e3: the reference's COBYLA is
+        # unbounded above (src/train.cpp:45-58) — the scan must follow
+        res = minimize_1d_log(
+            lambda t: (jnp.log(t) - jnp.log(5e4)) ** 2, lo=1e-2, hi=1e3, dtype=jnp.float64
+        )
+        np.testing.assert_allclose(float(res.x), 5e4, rtol=1e-3)
 
     def test_adam_quadratic(self):
         res = adam_minimize(lambda x: jnp.sum((x - 2.0) ** 2), jnp.zeros(3), steps=500, lr=0.1)
