@@ -525,9 +525,17 @@ def fit_nystrom_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig())
 
 
 def _gl_spectrum(key, basis, a2, K: int, cfg: FitConfig):
+    """Returns (eigenpair, max residual norm).  The eigh path is exact, so
+    its residual reports as 0; the LOBPCG path surfaces its true final
+    residual as the structured convergence status (SURVEY §5
+    failure-detection row)."""
     if cfg.gl_solver == "lobpcg":
-        return spectral.gl_spectrum_lobpcg(key, basis, a2, K, cfg.gl_lobpcg_iters)
-    return spectral.gl_spectrum_at(basis, a2, K)
+        eig, resid = spectral.gl_spectrum_lobpcg_status(
+            key, basis, a2, K, cfg.gl_lobpcg_iters
+        )
+        return eig, jnp.max(resid)
+    eig = spectral.gl_spectrum_at(basis, a2, K)
+    return eig, jnp.zeros((), eig.values.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n"))
@@ -537,28 +545,33 @@ def _gl_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int):
     idx = jnp.arange(m)
 
     def per_a2(a2):
-        eig = _gl_spectrum(key, basis, a2, K, cfg)
+        eig, resid = _gl_spectrum(key, basis, a2, K, cfg)
         scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
         res = _train_gpr(seig, Ys, idx, K, scfg)
-        return eig, res
+        return eig, resid, res
 
     # lax.map bounds memory: each grid point materializes an (n, n) graph
-    eigs, results = jax.lax.map(per_a2, a2s)
+    eigs, resids, results = jax.lax.map(per_a2, a2s)
     best = jnp.argmax(-results.obj)
     eig = _select(eigs, best)
     res = _select(results, best)
     scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
     out = _gpr_tail(seig, Ys, m, n, K, scfg, res.t, res.noise)
-    return out, res, a2s[best], eig
+    return out, res, a2s[best], eig, resids[best]
 
 
 def fit_gl_regression_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig(sigma=1e-5)) -> FitResult:
-    """GPR on the exact graph Laplacian over all n points (src/Fit.cpp:361-512)."""
+    """GPR on the exact graph Laplacian over all n points (src/Fit.cpp:361-512).
+
+    ``FitResult.metrics["gl_eigensolve_max_residual"]`` carries the winning
+    grid point's eigensolver residual (0 for the exact eigh path)."""
     cfg = _resolve(cfg, "regression")
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
-    out, res, best_a2, eig = _gl_regression_impl(key, X_all, Y, _a2_grid(cfg), cfg, m, n)
-    return _to_result(out, dict(t=res.t, noise=res.noise, a2=best_a2), -res.obj, eig)
+    out, res, best_a2, eig, resid = _gl_regression_impl(key, X_all, Y, _a2_grid(cfg), cfg, m, n)
+    result = _to_result(out, dict(t=res.t, noise=res.noise, a2=best_a2), -res.obj, eig)
+    result.metrics = {"gl_eigensolve_max_residual": float(resid)}
+    return result
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "max_count"))
@@ -569,22 +582,25 @@ def _gl_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, max_co
     k_spec, k_pg = jax.random.split(key)
 
     def per_a2(a2):
-        eig = _gl_spectrum(k_spec, basis, a2, K, cfg)
+        eig, resid = _gl_spectrum(k_spec, basis, a2, K, cfg)
         scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
         res = _train_gpc(seig, Ys, Ns, idx, K, scfg)
-        return eig, res
+        return eig, resid, res
 
-    eigs, results = jax.lax.map(per_a2, a2s)
+    eigs, resids, results = jax.lax.map(per_a2, a2s)
     best = jnp.argmax(-results.obj)
     eig = _select(eigs, best)
     res = _select(results, best)
     scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
     out = _gpc_tail(k_pg, seig, Ys, Ns, m, n, K, scfg, res.x, max_count)
-    return out, res, a2s[best], eig
+    return out, res, a2s[best], eig, resids[best]
 
 
 def fit_gl_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig()) -> FitResult:
-    """Binary GPC on the exact graph Laplacian (src/Fit.cpp:1166-1328)."""
+    """Binary GPC on the exact graph Laplacian (src/Fit.cpp:1166-1328).
+
+    ``FitResult.metrics["gl_eigensolve_max_residual"]`` as in
+    fit_gl_regression_gp."""
     X_all, m, n = _concat_all(X, X_new, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
     if N is None:
@@ -593,5 +609,7 @@ def fit_gl_logit_gp(key, X, Y, X_new, N=None, cfg: FitConfig = FitConfig()) -> F
     else:
         N_arr = jnp.asarray(N, cfg.dtype)
         max_count = int(np.max(np.asarray(N)))
-    out, res, best_a2, eig = _gl_logit_impl(key, X_all, Y, N_arr, _a2_grid(cfg), cfg, m, n, max_count)
-    return _to_result(out, dict(t=res.x, a2=best_a2), -res.obj, eig)
+    out, res, best_a2, eig, resid = _gl_logit_impl(key, X_all, Y, N_arr, _a2_grid(cfg), cfg, m, n, max_count)
+    result = _to_result(out, dict(t=res.x, a2=best_a2), -res.obj, eig)
+    result.metrics = {"gl_eigensolve_max_residual": float(resid)}
+    return result

@@ -210,8 +210,12 @@ def _gl_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: int):
     idx = jnp.arange(m)
     aug_y = one_hot_labels(Y, J)
 
+    from .drivers import _gl_spectrum
+
+    k_spec = jax.random.fold_in(key, 1)
+
     def per_a2(a2):
-        eig = spectral.gl_spectrum_at(basis, a2, K)
+        eig, _resid = _gl_spectrum(k_spec, basis, a2, K, cfg)
         scfg, seig, (aug_s,) = _solve_cast(cfg, eig, aug_y)
         res = _train_mult(seig, aug_s, idx, K, scfg)
         return eig, res

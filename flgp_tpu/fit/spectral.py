@@ -214,6 +214,19 @@ def gl_spectrum_lobpcg(
     iteration, no (n, n) materialization.  Same eigensystem as
     ``gl_spectrum_at`` (validated in tests/test_scale.py).
     """
+    eig, _resid = gl_spectrum_lobpcg_status(key, basis, a2, K, iters)
+    return eig
+
+
+def gl_spectrum_lobpcg_status(
+    key: jax.Array, basis: GlBasis, a2: jnp.ndarray, K: int, iters: int = 80
+):
+    """As gl_spectrum_lobpcg, additionally returning the per-eigenpair
+    residual norms ‖A·x − θx‖ from the final iteration — the structured
+    convergence status the GL drivers surface into ``FitResult.metrics``
+    (the reference's only failure signal is NLopt's printed "nlopt failed!",
+    src/train.cpp:63-65; RSpectra convergence is never checked,
+    src/Fit.cpp:410-411)."""
     if basis.knn_idx is None:
         raise ValueError("gl_spectrum_lobpcg requires the sparse kNN basis")
     from ..ops.lobpcg import lobpcg_standard
@@ -228,4 +241,4 @@ def gl_spectrum_lobpcg(
     V = sqrt_da_inv[:, None] * res.eigenvectors
     colnorms = jnp.linalg.norm(V, axis=0)
     V = jnp.sqrt(jnp.asarray(n, V.dtype)) * V / (colnorms[None, :] + EPS)
-    return EigenPair(res.eigenvalues, V)
+    return EigenPair(res.eigenvalues, V), res.residual_norms

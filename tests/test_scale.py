@@ -93,6 +93,63 @@ class TestGlLobpcgPath:
         H_i = np.asarray(heat_kernel(iterative, 2.0, K, idx, idx))
         np.testing.assert_allclose(H_i, H_d, atol=5e-5)
 
+    def test_clustered_spectrum_n2000(self, key):
+        """The hard case SURVEY §7 flags: clustered top eigenvalues.  Six
+        well-separated blobs give a near-degenerate 6-fold top cluster at
+        λ≈1; LOBPCG must still recover the eigensystem at n=2000.  Values
+        compared directly; vectors through the rotation-insensitive heat
+        kernel (degenerate blocks are only defined up to rotation)."""
+        from flgp_tpu.fit import spectral
+        from flgp_tpu.ops.heat_kernel import heat_kernel
+
+        rng = np.random.default_rng(42)
+        n, K = 2000, 16
+        centers = rng.normal(0, 12, size=(6, 3))
+        X = jnp.asarray(
+            np.concatenate(
+                [rng.normal(c, 1.0, size=(n // 6 + 1, 3)) for c in centers]
+            )[:n]
+        )
+        basis = spectral.gl_setup(X, sparse=True, threshold=0.004)  # r=8 kNN
+        a2 = jnp.asarray(1.0)
+        dense = spectral.gl_spectrum_at(basis, a2, K)
+        iterative, resid = spectral.gl_spectrum_lobpcg_status(key, basis, a2, K, iters=200)
+        # top cluster really is clustered
+        dv = np.asarray(dense.values)
+        assert dv[0] - dv[5] < 1e-3, dv[:8]
+        np.testing.assert_allclose(
+            np.asarray(iterative.values), dv, atol=1e-7
+        )
+        # structured convergence status: residuals must certify the solve
+        # (interior pairs reach ~1e-10; the trailing pair at the truncation
+        # edge converges slowest)
+        assert float(jnp.max(resid)) < 1e-5, np.asarray(resid)
+        idx = jnp.arange(0, n, 37)
+        H_d = np.asarray(heat_kernel(dense, 2.0, K, idx, idx))
+        H_i = np.asarray(heat_kernel(iterative, 2.0, K, idx, idx))
+        # within-cluster rotations are only approximately heat-kernel
+        # invariant (the six eigenvalues differ at ~1e-4), so compare at the
+        # corresponding relative scale
+        np.testing.assert_allclose(H_i, H_d, rtol=1e-4, atol=1e-3)
+
+    def test_fit_gl_regression_reports_residual(self, rng, key):
+        """fit_gl_* surfaces the eigensolver residual as structured status."""
+        import flgp_tpu
+        from flgp_tpu import FitConfig, GraphConfig
+
+        m, n_new = 100, 40
+        X = rng.uniform(-2, 2, size=(m, 1))
+        Y = np.sin(2 * X[:, 0]) + 0.05 * rng.normal(size=m)
+        X_new = rng.uniform(-2, 2, size=(n_new, 1))
+        cfg = FitConfig(
+            graph=GraphConfig(s=32, K=12), sigma=1e-5,
+            gl_sparse=True, gl_threshold=0.08, gl_solver="lobpcg",
+            gl_lobpcg_iters=120,
+        )
+        res = flgp_tpu.fit_gl_regression_gp(key, X, Y, X_new, cfg)
+        assert res.metrics is not None
+        assert res.metrics["gl_eigensolve_max_residual"] < 1e-4
+
     def test_fit_gl_regression_lobpcg(self, rng, key):
         """End-to-end GLGP regression through the implicit-operator solver."""
         import flgp_tpu
