@@ -142,6 +142,59 @@ def digits(m_train: int = 300, seed: int = 0) -> Split:
     return Split(X[tr], Y[tr], X[te], Y[te])
 
 
+def digits_large(
+    n: int = 70_000,
+    m_train: int = 500,
+    seed: int = 0,
+    shift_max: float = 1.0,
+    noise_sd: float = 0.02,
+) -> Split:
+    """REAL image data at MNIST scale: the 1797 sklearn handwritten digits
+    replicated to ``n`` rows by documented augmentation — each replica is a
+    random source image resampled at a uniform sub-pixel translation
+    (bilinear, |shift| ≤ ``shift_max`` px, border-clamped) plus
+    N(0, ``noise_sd``²) pixel noise.
+
+    This is the BASELINE config-3 "MNIST-subset" dataset (real image
+    manifold, no network egress needed): translations move points *along*
+    the digit manifold, so the class structure the graph-Laplacian prior
+    exploits is genuine, unlike a synthetic surface.  Pixels in [0, 1],
+    transductive split as in the reference fit drivers
+    (/root/reference/src/Fit.cpp:123-126)."""
+    from sklearn.datasets import load_digits
+
+    data = load_digits()
+    imgs = data.images.astype(np.float64) / 16.0  # (1797, 8, 8)
+    labels = data.target.astype(np.float64)
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, len(labels), size=n)
+    dx = rng.uniform(-shift_max, shift_max, size=n)
+    dy = rng.uniform(-shift_max, shift_max, size=n)
+    # vectorized bilinear resample of image src[k] at grid (i+dy[k], j+dx[k])
+    ii = np.arange(8, dtype=np.float64)
+    gy = ii[None, :, None] + dy[:, None, None]  # (n, 8, 1)
+    gx = ii[None, None, :] + dx[:, None, None]  # (n, 1, 8)
+    y0 = np.clip(np.floor(gy).astype(np.int64), 0, 7)
+    x0 = np.clip(np.floor(gx).astype(np.int64), 0, 7)
+    y1 = np.minimum(y0 + 1, 7)
+    x1 = np.minimum(x0 + 1, 7)
+    fy = np.clip(gy - y0, 0.0, 1.0)
+    fx = np.clip(gx - x0, 0.0, 1.0)
+    I = imgs[src]  # (n, 8, 8)
+    k = np.arange(n)[:, None, None]
+    out = (
+        (1 - fy) * (1 - fx) * I[k, y0, x0]
+        + (1 - fy) * fx * I[k, y0, x1]
+        + fy * (1 - fx) * I[k, y1, x0]
+        + fy * fx * I[k, y1, x1]
+    )
+    X = out.reshape(n, 64) + rng.normal(0.0, noise_sd, size=(n, 64))
+    Y = labels[src]
+    idx = rng.permutation(n)
+    tr, te = idx[:m_train], idx[m_train:]
+    return Split(X[tr], Y[tr], X[te], Y[te])
+
+
 def mnist_like(
     n: int = 70_000,
     n_classes: int = 10,

@@ -164,6 +164,33 @@ class TestDigits:
         assert (np.asarray(post.t) > 0).all()
 
 
+class TestDigitsLarge:
+    def test_zero_shift_replicas_are_source_images(self):
+        """With shift_max=0 and noise_sd=0 every replica must be bit-equal to
+        a real source digit — the augmentation only *moves along* the image
+        manifold, never off it."""
+        from sklearn.datasets import load_digits
+
+        from flgp_tpu.datasets import digits_large
+
+        ds = digits_large(n=300, m_train=20, seed=1, shift_max=0.0, noise_sd=0.0)
+        src = load_digits().data / 16.0
+        X = np.concatenate([ds.x_train, ds.x_test])
+        d2 = ((X[:, None, :] - src[None, :, :]) ** 2).sum(-1).min(1)
+        assert float(d2.max()) == 0.0
+
+    def test_structure(self):
+        from flgp_tpu.datasets import digits_large
+
+        ds = digits_large(n=4000, m_train=100, seed=0)
+        assert ds.x_train.shape == (100, 64)
+        assert ds.x_test.shape == (3900, 64)
+        labels = np.concatenate([ds.y_train, ds.y_test])
+        assert set(np.unique(labels)) == set(range(10))
+        # shifted-and-noised pixels stay near [0, 1]
+        assert ds.x_test.min() > -0.2 and ds.x_test.max() < 1.2
+
+
 class TestMnistLike:
     def test_generator_structure(self):
         from flgp_tpu.datasets import mnist_like

@@ -82,7 +82,135 @@ class TestStreamedGraph:
         assert d.max() == 0.0
 
 
+class TestStreamedGpcTail:
+    """The O(n·K) low-rank GPC tail against the dense in-memory tail on the
+    SAME spectrum and key: the Gibbs chain is bit-identical (same (m, m)
+    kernel assembly), so only projection rounding separates the outputs."""
+
+    def _setup(self):
+        rng = np.random.default_rng(5)
+        n, d, m = 900, 3, 120
+        X = rng.normal(size=(n, d))
+        f_true = np.tanh(2.0 * X[:, 0])
+        train_idx = rng.permutation(n)[:m]
+        Y = (f_true[train_idx] + 0.1 * rng.normal(size=m) > 0).astype(np.float64)
+        g = GraphConfig(s=40, r=3, K=20, kernel=KernelType.LAE)
+        key = jax.random.PRNGKey(0)
+        eig, _ = build_spectrum(key, jnp.asarray(X, jnp.float64), g)
+        return eig, jnp.asarray(Y), jnp.asarray(train_idx, jnp.int32), n, m
+
+    def test_matches_dense_tail(self):
+        from flgp_tpu.config import FitConfig
+        from flgp_tpu.fit.streaming import _gpc_lowrank_tail
+        from flgp_tpu.inference.pg_gibbs import test_pgbinary
+        from flgp_tpu.models import gpc as gpc_mod
+        from flgp_tpu.ops import linalg
+        from flgp_tpu.ops.heat_kernel import heat_kernel, heat_kernel_diag
+
+        eig, Y, train_idx, n, m = self._setup()
+        cfg = FitConfig(sigma=1e-3, dtype=jnp.float64, n_gibbs=40, gibbs_avg_sweeps=20)
+        K, t = 20, jnp.float64(30.0)
+        k_pg = jax.random.PRNGKey(7)
+        N = jnp.ones((m,), jnp.float64)
+
+        labels, probs, mean, var = _gpc_lowrank_tail(
+            k_pg, eig, Y, N, train_idx, K, cfg, t, 1, chunk=257
+        )
+
+        # dense reference tail on the same spectrum: C rows ordered
+        # [train; all] so we can slice per-row predictions
+        Cvv = heat_kernel(eig, t, K, train_idx, train_idx)
+        Cvv = linalg.add_diag(Cvv, jnp.full((m,), cfg.sigma, jnp.float64))
+        all_idx = jnp.arange(n)
+        C_all = heat_kernel(eig, t, K, all_idx, train_idx)
+        # train rows of the prediction matrix include the sigma ridge
+        C_all = C_all.at[train_idx].add(cfg.sigma * jnp.eye(m, dtype=jnp.float64))
+        _, pi_dense = test_pgbinary(
+            k_pg, Cvv, Y, C_all, cfg.n_gibbs, avg_sweeps=cfg.gibbs_avg_sweeps
+        )
+        np.testing.assert_allclose(np.asarray(probs), np.asarray(pi_dense), atol=1e-8)
+        np.testing.assert_array_equal(
+            np.asarray(labels), (np.asarray(pi_dense) > 0.5).astype(np.float64)
+        )
+
+        # Laplace moments at the non-train rows vs the dense Alg 3.2 path
+        test_mask = np.ones(n, bool)
+        test_mask[np.asarray(train_idx)] = False
+        idx1 = jnp.asarray(np.nonzero(test_mask)[0], jnp.int32)
+        C21 = heat_kernel(eig, t, K, idx1, train_idx)
+        C22 = heat_kernel_diag(eig, t, K, idx1) + cfg.sigma
+        mean_d, var_d = gpc_mod.gpc_posterior_moments(Cvv, C21, C22, Y)
+        np.testing.assert_allclose(
+            np.asarray(mean)[test_mask], np.asarray(mean_d), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(var)[test_mask], np.asarray(var_d), atol=1e-8
+        )
+
+
 class TestStreamedFit:
+    def test_streamed_gpc_runs(self, tmp_path):
+        """End-to-end out-of-core binary GPC on two separated rings."""
+        rng = np.random.default_rng(3)
+        n, m = 1600, 160
+        theta = rng.uniform(0, 2 * np.pi, size=n)
+        radius = np.where(np.arange(n) % 2 == 0, 1.0, 2.0)
+        X = np.stack([radius * np.cos(theta), radius * np.sin(theta)], 1)
+        X = (X + 0.03 * rng.normal(size=X.shape)).astype(np.float32)
+        y_all = (np.arange(n) % 2 == 0).astype(np.float64)
+        path = str(tmp_path / "xc.flgp")
+        native.write_matrix(path, X)
+        train_idx = rng.permutation(n)[:m]
+        from flgp_tpu.config import FitConfig
+
+        cfg = FitConfig(
+            graph=GraphConfig(s=64, r=3, K=32), sigma=1e-3,
+            n_gibbs=40, gibbs_avg_sweeps=20, dtype=jnp.float64,
+        )
+        with native.MatrixFile(path) as mat:
+            res = streaming.fit_lae_logit_gp_streamed(
+                jax.random.PRNGKey(0), mat, y_all[train_idx], train_idx,
+                cfg=cfg, chunk_rows=700,
+            )
+        labels = np.asarray(res.labels)
+        assert labels.shape == (n,)
+        test_mask = np.ones(n, bool)
+        test_mask[train_idx] = False
+        err = float(np.mean(labels[test_mask] != y_all[test_mask]))
+        assert err < 0.05
+        assert np.isfinite(np.asarray(res.post_var)).all()
+        assert (np.asarray(res.post_var) > 0).all()
+
+    def test_streamed_multiclass_runs(self, tmp_path):
+        """End-to-end out-of-core one-vs-rest GPC on 3 Gaussian blobs."""
+        rng = np.random.default_rng(4)
+        n, m, J = 1200, 150, 3
+        centers = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+        y_all = np.arange(n) % J
+        X = (centers[y_all] + 0.5 * rng.normal(size=(n, 2))).astype(np.float32)
+        path = str(tmp_path / "xm.flgp")
+        native.write_matrix(path, X)
+        train_idx = rng.permutation(n)[:m]
+        from flgp_tpu.config import FitConfig
+
+        cfg = FitConfig(
+            graph=GraphConfig(s=48, r=3, K=24), sigma=1e-3,
+            n_gibbs=30, gibbs_avg_sweeps=15, dtype=jnp.float64,
+        )
+        with native.MatrixFile(path) as mat:
+            res = streaming.fit_lae_logit_mult_gp_streamed(
+                jax.random.PRNGKey(0), mat, y_all[train_idx].astype(np.float64),
+                train_idx, cfg=cfg, chunk_rows=500,
+            )
+        labels = np.asarray(res.labels)
+        assert labels.shape == (n,)
+        assert np.asarray(res.probs).shape == (J, n)
+        assert np.asarray(res.post_mean).shape == (n, J)
+        test_mask = np.ones(n, bool)
+        test_mask[train_idx] = False
+        err = float(np.mean(labels[test_mask] != y_all[test_mask]))
+        assert err < 0.05
+
     def test_streamed_gpr_runs(self, disk_matrix, tmp_path):
         rng = np.random.default_rng(2)
         n, d = 1500, 3
