@@ -43,6 +43,66 @@ def gpr_nmll_woodbury_np(values, vectors, Y, idx, K, t, noise, sigma):
     return nmll
 
 
+def gpr_nmll_diff_noise_direct_np(values, vectors, Y, idx, K, t, noise_vec, sigma):
+    """Per-point-noise direct-branch NMLL + the reference's hand-derived
+    gradients, pre-clipping (src/train.cpp:470-499).  Returns
+    (nmll, grad_t, grad_noise (m,))."""
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    m, q = Y.shape
+    C = heat_kernel_np(values, vectors, K, t, idx, idx)
+    C = C + np.diag(noise_vec + sigma)
+    L = np.linalg.cholesky(C)
+    alpha = np.linalg.solve(C, Y)
+    nmll = 0.5 * np.sum(Y * alpha) / q
+    nmll += np.sum(np.log(np.diag(L) + 1e-9))
+
+    # GPML Eq 5.9: U = ααᵀ/q − C⁻¹; ∂C/∂t = V·(−λ·e^{−tλ})·Vᵀ; ∂C/∂zᵢ = eᵢeᵢᵀ
+    C_inv = np.linalg.solve(C, np.eye(m))
+    U = alpha @ alpha.T / q - C_inv
+    lam = 1.0 - values[:K]
+    V = vectors[np.asarray(idx)][:, :K]
+    grad_t_mat = V @ np.diag(-lam * np.exp(-t * lam)) @ V.T
+    grad_t = -0.5 * np.sum(U * grad_t_mat.T)
+    grad_noise = -0.5 * np.diag(U)
+    return nmll, grad_t, grad_noise
+
+
+def gpr_nmll_diff_noise_woodbury_np(values, vectors, Y, idx, K, t, noise_vec, sigma):
+    """Per-point-noise Woodbury-branch NMLL + the reference's hand-derived
+    gradients, pre-clipping (src/train.cpp:500-551).  Returns
+    (nmll, grad_t, grad_noise (m,))."""
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    m, q = Y.shape
+    lam = 1.0 - values[:K]
+    V = vectors[np.asarray(idx)][:, :K]
+    ls = np.exp(-0.5 * t * lam)
+    z = noise_vec + sigma
+    z_inv = 1.0 / z
+    VtZiV = V.T @ (z_inv[:, None] * V)
+    Q = np.diag(ls) @ VtZiV @ np.diag(ls) + np.eye(K)
+    LQ = np.linalg.cholesky(Q)
+    alpha = z_inv[:, None] * Y - z_inv[:, None] * (
+        V @ (np.diag(ls) @ np.linalg.solve(Q, np.diag(ls) @ (V.T @ (z_inv[:, None] * Y))))
+    )
+    nmll = 0.5 * np.sum(Y * alpha) / q
+    nmll += np.sum(np.log(np.diag(LQ) + 1e-9))
+    nmll += 0.5 * np.sum(np.log(z + 1e-9))
+
+    Q_inv = np.linalg.solve(Q, np.eye(K))
+    A = np.diag(-lam * np.exp(-t * lam))
+    grad_t = -0.5 * np.sum(alpha * ((alpha.T @ V) @ A @ V.T).T) / q
+    grad_t += 0.5 * np.trace(A @ VtZiV)
+    grad_t += -0.5 * np.sum(
+        (Q_inv @ np.diag(ls) @ VtZiV) * (A @ VtZiV @ np.diag(ls)).T
+    )
+    grad_noise = np.empty(m)
+    for i in range(m):
+        grad_noise[i] = -0.5 * np.sum(alpha[i] * alpha[i]) / q
+        tmp = z_inv[i] * V[i] @ np.diag(ls)
+        grad_noise[i] += 0.5 * (z_inv[i] - (tmp @ Q_inv) @ tmp)
+    return nmll, grad_t, grad_noise
+
+
 def laplace_marginal_np(C, Y, N, tol=1e-5, max_iter=100):
     """GPC Laplace marginal (src/train.cpp:716-760)."""
     m = len(Y)

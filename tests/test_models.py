@@ -88,6 +88,76 @@ class TestGprNmll:
         np.testing.assert_allclose(float(got), expect, rtol=1e-5)
 
 
+class TestGprDiffNoiseReferenceParity:
+    """Per-point-noise training parity: the repo's autodiff objective against
+    NumPy transcriptions of the reference's hand-derived NMLL *and* analytic
+    gradients (src/train.cpp:459-555, pre-clipping — the reference's clip at
+    |g|≥10 / |g|≥1 is an NLopt-MMA stabilizer, not part of the objective)."""
+
+    def test_direct_branch_value_and_grads(self, rng):
+        eig, values, vectors = _rand_eigenpair(rng, n=50, K=30)
+        m = 20  # m <= K → direct branch (src/train.cpp:470-499)
+        idx = jnp.arange(m)
+        Y = jnp.asarray(rng.normal(size=(m,)))
+        noise = rng.uniform(0.1, 1.0, size=m)
+        t = 1.7
+
+        def f(tt, nv):
+            return gpr_mod.gpr_nmll(eig, Y, idx, 30, tt, nv, 1e-5)
+
+        got = f(t, jnp.asarray(noise))
+        g_t, g_n = jax.grad(f, argnums=(0, 1))(t, jnp.asarray(noise))
+        nmll, ref_gt, ref_gn = oracles.gpr_nmll_diff_noise_direct_np(
+            values, vectors, np.asarray(Y), np.arange(m), 30, t, noise, 1e-5
+        )
+        np.testing.assert_allclose(float(got), nmll, rtol=1e-8)
+        np.testing.assert_allclose(float(g_t), ref_gt, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_n), ref_gn, rtol=1e-6)
+
+    def test_woodbury_branch_value_and_grads(self, rng):
+        eig, values, vectors = _rand_eigenpair(rng, n=60, K=10)
+        m = 40  # m > K → Woodbury branch (src/train.cpp:500-551)
+        idx = jnp.arange(m)
+        Y = jnp.asarray(rng.normal(size=(m,)))
+        noise = rng.uniform(0.1, 1.0, size=m)
+        t = 1.2
+
+        def f(tt, nv):
+            return gpr_mod.gpr_nmll(eig, Y, idx, 10, tt, nv, 1e-5)
+
+        got = f(t, jnp.asarray(noise))
+        g_t, g_n = jax.grad(f, argnums=(0, 1))(t, jnp.asarray(noise))
+        nmll, ref_gt, ref_gn = oracles.gpr_nmll_diff_noise_woodbury_np(
+            values, vectors, np.asarray(Y), np.arange(m), 10, t, noise, 1e-5
+        )
+        np.testing.assert_allclose(float(got), nmll, rtol=1e-8)
+        np.testing.assert_allclose(float(g_t), ref_gt, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_n), ref_gn, rtol=1e-6)
+
+    def test_posterior_prior_terms_match_reference(self, rng):
+        """The diff-noise "posterior" objective adds p·log t + (t/τ)^{−q} and
+        the per-point inverse-gamma prior averaged over m
+        (src/train.cpp:438-457)."""
+        eig, values, vectors = _rand_eigenpair(rng, n=40, K=10)
+        m = 30
+        idx = jnp.arange(m)
+        Y = jnp.asarray(rng.normal(size=(m,)))
+        noise = rng.uniform(0.1, 1.0, size=m)
+        t, sigma = 1.5, 1e-5
+        p, q, tau, al, be = 1e-2, 10.0, 2.0, 1e-1, 1e-3
+        got = gpr_mod.gpr_nmll_posterior(
+            eig, Y, idx, 10, t, jnp.asarray(noise), sigma,
+            p=p, q=q, tau=tau, alpha=al, beta=be,
+        )
+        nmll, _, _ = oracles.gpr_nmll_diff_noise_woodbury_np(
+            values, vectors, np.asarray(Y), np.arange(m), 10, t, noise, sigma
+        )
+        pr0 = p * np.log(t + 1e-9) + (t / tau) ** (-q)
+        z = noise + sigma
+        pr1 = np.mean((al + 1) * np.log(z) + be / z)
+        np.testing.assert_allclose(float(got), nmll + pr0 + pr1, rtol=1e-7)
+
+
 class TestGprPredict:
     def test_prediction_consistent_across_branches(self, rng):
         eig, values, vectors = _rand_eigenpair(rng, n=60, K=25)
