@@ -152,7 +152,7 @@ def bench_sampling(report: MetricsReport, torus_eig):
     x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n_chains, K + 1), jnp.float32)
     out = {}
 
-    _mark("sampling: HMC")
+    _mark("sampling: HMC (adaptive)")
     hmc = jax.jit(lambda k, x: run_hmc(k, logpost, x, n_warmup=256, n_samples=n_samp, n_leapfrog=16))
     _fetch(hmc(jax.random.PRNGKey(2), x0).samples)
     with report.stage("hmc") as slot:
@@ -161,10 +161,38 @@ def bench_sampling(report: MetricsReport, torus_eig):
         _fetch(run.samples)
         hmc_s = time.perf_counter() - t0
         slot["wall"] = hmc_s
-    out["gpc_min_ess_per_sec_per_chip"] = float(np.min(ess(np.asarray(run.samples, np.float64)))) / hmc_s
+    out["gpc_min_ess_per_sec_per_chip_incl_warmup"] = float(
+        np.min(ess(np.asarray(run.samples, np.float64)))
+    ) / hmc_s
     out["hmc_accept_mean"] = float(jnp.mean(run.accept_prob))
 
-    _mark("sampling: NUTS")
+    # north star: steady-state sampling throughput — adapted (step, mass)
+    # fixed, long chain so the estimate is tight and warmup amortized
+    # (production chains run thousands of post-warmup draws)
+    from flgp_tpu.inference.hmc import run_hmc_fixed
+    from flgp_tpu.inference.nuts import run_nuts_fixed
+
+    _mark("sampling: HMC (steady-state)")
+    n_fixed = 2048
+    x_adapted = run.samples[-1]
+    hmc_f = jax.jit(
+        lambda k, x: run_hmc_fixed(
+            k, logpost, x, run.step, run.inv_mass, n_samples=n_fixed, n_leapfrog=16
+        )
+    )
+    _fetch(hmc_f(jax.random.PRNGKey(6), x_adapted).samples)
+    with report.stage("hmc_fixed") as slot:
+        t0 = time.perf_counter()
+        frun = hmc_f(jax.random.PRNGKey(7), x_adapted)
+        _fetch(frun.samples)
+        hmc_fs = time.perf_counter() - t0
+        slot["wall"] = hmc_fs
+    out["gpc_min_ess_per_sec_per_chip"] = float(
+        np.min(ess(np.asarray(frun.samples, np.float64)))
+    ) / hmc_fs
+    out["hmc_fixed_accept_mean"] = float(jnp.mean(frun.accept_prob))
+
+    _mark("sampling: NUTS (adaptive)")
     nuts = jax.jit(lambda k, x: run_nuts(k, logpost, x, n_warmup=256, n_samples=n_samp, max_depth=8))
     _fetch(nuts(jax.random.PRNGKey(4), x0).samples)
     with report.stage("nuts") as slot:
@@ -173,8 +201,27 @@ def bench_sampling(report: MetricsReport, torus_eig):
         _fetch(nrun.samples)
         nuts_s = time.perf_counter() - t0
         slot["wall"] = nuts_s
-    out["gpc_nuts_min_ess_per_sec_per_chip"] = float(np.min(ess(np.asarray(nrun.samples, np.float64)))) / nuts_s
+    out["gpc_nuts_min_ess_per_sec_per_chip_incl_warmup"] = float(
+        np.min(ess(np.asarray(nrun.samples, np.float64)))
+    ) / nuts_s
     out["nuts_accept_mean"] = float(jnp.mean(nrun.accept_stat))
+
+    _mark("sampling: NUTS (steady-state)")
+    nuts_f = jax.jit(
+        lambda k, x: run_nuts_fixed(
+            k, logpost, x, nrun.step, nrun.inv_mass, n_samples=1024, max_depth=8
+        )
+    )
+    _fetch(nuts_f(jax.random.PRNGKey(8), nrun.samples[-1]).samples)
+    with report.stage("nuts_fixed") as slot:
+        t0 = time.perf_counter()
+        nfrun = nuts_f(jax.random.PRNGKey(9), nrun.samples[-1])
+        _fetch(nfrun.samples)
+        nuts_fs = time.perf_counter() - t0
+        slot["wall"] = nuts_fs
+    out["gpc_nuts_min_ess_per_sec_per_chip"] = float(
+        np.min(ess(np.asarray(nfrun.samples, np.float64)))
+    ) / nuts_fs
     return out
 
 
@@ -508,9 +555,12 @@ def main():
         errors.setdefault("sampling", "skipped: goldens failed")
     guarded("multiclass_smc", bench_multiclass_smc, report)
     guarded("ablation_nuts", bench_ablation_nuts, report)
-    guarded("spectral_scale", bench_spectral_scale, report)
     guarded("lobpcg_scale", bench_lobpcg_scale, report)
     guarded("pallas_kernels", bench_pallas_kernels, report)
+    # the n=1e7 stage runs LAST among on-chip stages: if it exhausts HBM it
+    # can only lose its own number, not poison the backend for later stages
+    # (round 3 first run: its OOM cascaded into lobpcg + pallas failures)
+    guarded("spectral_scale", bench_spectral_scale, report)
     guarded("scaling_subprocess", bench_scaling_subprocess)
 
     payload = {

@@ -282,3 +282,40 @@ def run_hmc(
     draws, aps, step, inv_mass = jax.vmap(one_chain)(jax.random.split(key, n_chains), x0)
     # reorder to (n_samples, n_chains, dim)
     return HmcRun(jnp.swapaxes(draws, 0, 1), jnp.swapaxes(aps, 0, 1), step, inv_mass)
+
+
+def run_hmc_fixed(
+    key: jax.Array,
+    logprob: LogProbFn,
+    x0: jnp.ndarray,
+    step: jnp.ndarray,
+    inv_mass: jnp.ndarray,
+    n_samples: int = 1000,
+    n_leapfrog: int = 16,
+    jitter_steps: bool = True,
+) -> HmcRun:
+    """Steady-state sampling with a FIXED per-chain (step, inv_mass) — e.g.
+    the adapted values from a prior :func:`run_hmc`.  This is the sampling
+    phase in isolation: ESS/sec measured over it is the steady-state
+    throughput a long production chain converges to (warmup amortizes away).
+    x0: (n_chains, dim); step: (n_chains,); inv_mass: (n_chains, dim)."""
+    n_chains, dim = x0.shape
+    dtype = x0.dtype
+
+    def one_chain(key, x0_c, step_c, im_c):
+        state = init_state(logprob, x0_c)
+
+        def main_body(state, kk):
+            k_step, k_jit = jax.random.split(kk)
+            scale = (
+                jax.random.uniform(k_jit, (), dtype, 0.8, 1.0)
+                if jitter_steps else jnp.asarray(1.0, dtype)
+            )
+            state, ap = hmc_kernel(logprob, k_step, state, step_c * scale, im_c, n_leapfrog)
+            return state, (state.x, ap)
+
+        _, (draws, aps) = jax.lax.scan(main_body, state, jax.random.split(key, n_samples))
+        return draws, aps
+
+    draws, aps = jax.vmap(one_chain)(jax.random.split(key, n_chains), x0, step, inv_mass)
+    return HmcRun(jnp.swapaxes(draws, 0, 1), jnp.swapaxes(aps, 0, 1), step, inv_mass)

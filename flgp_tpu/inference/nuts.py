@@ -128,7 +128,14 @@ def nuts_kernel(
             h = _energy(ph, inv_mass)
             log_w = h0 - h
             diverged = jnp.logical_or(~jnp.isfinite(log_w), log_w < -1000.0)
-            accept_stat = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_w, 0.0)))
+            # a NaN-energy leaf must count as accept prob 0, not poison the
+            # running sum (jnp.minimum(NaN, 0) is NaN): Stan's convention for
+            # divergent leaves
+            accept_stat = jnp.where(
+                jnp.isfinite(log_w),
+                jnp.minimum(1.0, jnp.exp(jnp.minimum(log_w, 0.0))),
+                jnp.zeros((), dtype),
+            )
 
             # multinomial proposal update within the subtree
             new_logw = jnp.logaddexp(ts.log_weight, log_w)
@@ -321,4 +328,32 @@ def run_nuts(
         return draws, aps, step, inv_mass
 
     draws, aps, step, inv_mass = jax.vmap(one_chain)(jax.random.split(key, n_chains), x0)
+    return NutsRun(jnp.swapaxes(draws, 0, 1), jnp.swapaxes(aps, 0, 1), step, inv_mass)
+
+
+def run_nuts_fixed(
+    key: jax.Array,
+    logprob: LogProbFn,
+    x0: jnp.ndarray,
+    step: jnp.ndarray,
+    inv_mass: jnp.ndarray,
+    n_samples: int = 1000,
+    max_depth: int = 8,
+) -> NutsRun:
+    """Steady-state NUTS sampling with FIXED per-chain (step, inv_mass) from
+    a prior adaptive run — the sampling-phase throughput in isolation (see
+    hmc.run_hmc_fixed).  x0: (n_chains, dim)."""
+    n_chains, dim = x0.shape
+
+    def one_chain(key, x0_c, step_c, im_c):
+        state = init_state(logprob, x0_c)
+
+        def main_body(state, k):
+            state, ap = nuts_kernel(logprob, k, state, step_c, im_c, max_depth)
+            return state, (state.x, ap)
+
+        _, (draws, aps) = jax.lax.scan(main_body, state, jax.random.split(key, n_samples))
+        return draws, aps
+
+    draws, aps = jax.vmap(one_chain)(jax.random.split(key, n_chains), x0, step, inv_mass)
     return NutsRun(jnp.swapaxes(draws, 0, 1), jnp.swapaxes(aps, 0, 1), step, inv_mass)

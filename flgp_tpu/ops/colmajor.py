@@ -217,15 +217,25 @@ def spectrum_colmajor(
     sigma2 = jnp.maximum(w, 0.0)
     sigma = jnp.sqrt(sigma2)
 
-    def ext_body(blk):
-        ic, ac = blk                              # (r, chunk) each
-        Vg = V[ic]                                # (r, chunk, K)
-        return jnp.einsum("rc,rck->ck", ac, Vg, precision=PRECISION)
+    # Eigenvector extension: ONE preallocated (n, K) output updated in place
+    # (XLA donates the fori_loop carry).  The earlier lax.map + [:n] slice +
+    # rescale version held THREE (n, K) ≈ 5.1 GB buffers at n=1e7/K=128 and
+    # OOMed the 16 GB chip mid-execution; here the σ⁻¹·√n rescale is folded
+    # into V so the loop body writes final values, and the tail chunk uses
+    # the shifted-window trick (overlap rows recompute to identical values).
+    V_ext = V * (jnp.sqrt(jnp.asarray(n, dtype)) / (sigma + EPS))[None, :]
+    c = min(gram_chunk, n)
+    n_blocks = -(-n // c)
 
-    Uv = jax.lax.map(ext_body, (i_ch, a_ch)).reshape(npc, K)[:n]
-    Uv = Uv / (sigma[None, :] + EPS)
+    def ext_block(i, out):
+        start = jnp.minimum(i * c, n - c)
+        ic = jax.lax.dynamic_slice(idx_t, (0, start), (r, c))
+        ac = jax.lax.dynamic_slice(a_t, (0, start), (r, c))
+        blk = jnp.einsum("rc,rck->ck", ac, V_ext[ic], precision=PRECISION)
+        return jax.lax.dynamic_update_slice(out, blk, (start, 0))
+
+    vectors = jax.lax.fori_loop(0, n_blocks, ext_block, jnp.zeros((n, K), dtype))
     values = sigma if root else sigma2
-    vectors = Uv * jnp.sqrt(jnp.asarray(n, dtype))
     return EigenPair(values, vectors)
 
 
