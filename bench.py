@@ -517,6 +517,24 @@ def bench_pallas_kernels(report: MetricsReport):
     out["pallas_lae_xla_ms"] = t_xla * 1e3
     out["pallas_lae_fused_ms"] = t_pl * 1e3
     out["pallas_lae_speedup"] = t_xla / t_pl
+
+    _mark("pallas: kNN XLA vs fused kernel")
+    from flgp_tpu.ops.knn import knn_xla
+    from flgp_tpu.ops.pallas_kernels import fused_knn
+
+    k_xla = jax.jit(lambda a, b: knn_xla(a, b, r).indices)
+    _fetch(k_xla(Xw, U))
+    t0 = time.perf_counter()
+    _fetch(k_xla(X, U))
+    t_kx = time.perf_counter() - t0
+    k_pl = jax.jit(lambda a, b: fused_knn(a, b, r=r, force=True).indices)
+    _fetch(k_pl(Xw, U))
+    t0 = time.perf_counter()
+    _fetch(k_pl(X, U))
+    t_kp = time.perf_counter() - t0
+    out["pallas_knn_xla_ms"] = t_kx * 1e3
+    out["pallas_knn_fused_ms"] = t_kp * 1e3
+    out["pallas_knn_speedup"] = t_kx / t_kp
     return out
 
 
