@@ -165,9 +165,19 @@ def gpc_nmll_objective(
     max_iter: int = 100,
 ) -> jnp.ndarray:
     """−marginal: the GPC empirical-Bayes objective as a function of t
-    (src/train.cpp:28-34)."""
+    (src/train.cpp:28-34).
+
+    Static m>K dispatch to the exact K-dim Woodbury dual (the GPC analogue of
+    the reference's GPR m>K branch, src/train.cpp:393-433, which the
+    reference never built for its GPC objective): every Newton step is
+    O(mK² + K³) instead of O(m³), same value (dense equality tested)."""
+    m = idx.shape[0]
+    if m > K:
+        lam = eigenpair.laplacian_eigenvalues(K)
+        Phi = eigenpair.vectors[idx, :K] * jnp.exp(-0.5 * t * lam)[None, :]
+        return -gpc_marginal_log_likelihood_lowrank(Phi, Y, N, sigma, tol, max_iter)
     C = heat_kernel(eigenpair, t, K, idx, idx)
-    C = linalg.add_diag(C, jnp.full((idx.shape[0],), sigma, C.dtype))
+    C = linalg.add_diag(C, jnp.full((m,), sigma, C.dtype))
     return -gpc_marginal_log_likelihood(C, Y, N, tol, max_iter)
 
 

@@ -311,3 +311,22 @@ class TestLowRankGpcMarginal:
         dense = gpc_marginal_log_likelihood(C, Y, N)
         lowrank = gpc_marginal_log_likelihood_lowrank(Phi, Y, N, sigma)
         np.testing.assert_allclose(float(lowrank), float(dense), rtol=1e-8)
+
+    def test_objective_dispatch_continuous_across_mK_boundary(self, rng):
+        """gpc_nmll_objective routes m>K through the low-rank dual; the value
+        (and hence the trained t) must equal the dense path's."""
+        from flgp_tpu.models.gpc import gpc_marginal_log_likelihood
+        from flgp_tpu.ops import linalg
+        from flgp_tpu.ops.heat_kernel import heat_kernel
+
+        eig, _, _ = _rand_eigenpair(rng, n=60, K=12)
+        Y_all = jnp.asarray((rng.uniform(size=60) > 0.5).astype(float))
+        for m in (12, 13, 40):  # at, just above, and well above K
+            idx = jnp.arange(m)
+            Y = Y_all[:m]
+            N = jnp.ones((m,))
+            got = gpc_mod.gpc_nmll_objective(eig, Y, N, idx, 12, 2.5, 1e-3)
+            C = heat_kernel(eig, 2.5, 12, idx, idx)
+            C = linalg.add_diag(C, jnp.full((m,), 1e-3, C.dtype))
+            dense = -gpc_marginal_log_likelihood(C, Y, N)
+            np.testing.assert_allclose(float(got), float(dense), rtol=1e-8)
