@@ -1,23 +1,34 @@
-"""Feature-major spectral stage for huge point clouds (single chip, n ≳ 1e6).
+"""Chunked feature-major spectral stage for huge point clouds (n ≳ 1e6).
 
 TPU arrays tile the last two axes as (sublane, lane) = (8, 128); any
 point-major array with a tiny minor dim pads its lanes to 128, so at n=1e7
 the (n, 3) point cloud costs 5.1 GB, the (n, r) kNN indices another 5.1 GB,
 and the (n, r, d) LAE anchor gather 20.5 GB — the round-2 bench OOM on a
-16 GB chip.  This module keeps the POINT axis minor everywhere: X is (d, n),
-kNN indices (r, n), weights (r, n), LAE Grams (r², n).  The same graph +
-spectrum pipeline as ops.spectrum/ops.laplacian (src/Spectrum.cpp:101-161
-semantics, oracle-tested equal in tests/test_colmajor.py) then costs
-O(n·r·4B) real HBM plus O(chunk) transients:
+16 GB chip.  Equally fatal (measured, round 3): *transposing* to a flat
+feature-major (r, n) array — XLA materializes the transpose through a
+lane-minor intermediate (r on the 128-lane axis, 42.7× padding → 3×4.78 GB
+temps) — and 2-D gathers ``scale[idx_t]`` with an (r, n) index array, which
+force the same transposed copies.
 
-- pass 1 (lax.map over point chunks): distances on the MXU → top-r indices,
-  SE weights or LAE Gram/linear terms, emitted pre-transposed.
-- LAE weights: the fused Pallas FISTA kernel over the full (r², n) tiles
-  (one HBM pass; XLA scan fallback off-TPU).
-- normalization + colsum: flat segment-sums over (r·n,) — no padding.
-- Gram AᵀA: chunked dense (chunk, s) scatter + MXU accumulation; one eigh.
-- eigenvector extension: chunked gather-einsum into the honest (n, K) output
-  (K ≥ 128 ⇒ no lane padding), exactly √n-scaled as spectrum_from_Z.
+So the internal layout here is CHUNKED 3-D and never transposed:
+
+    idx, w : (nch, r, c)   — point axis minor (c on lanes), r on sublanes,
+                             chunks stacked on a leading axis by lax.map
+    grams  : (nch, r², c)
+
+exactly the order the one-pass builder emits.  Rules that keep the memory
+honest (oracle-tested equal to ops.spectrum/ops.laplacian,
+src/Spectrum.cpp:101-161 semantics, in tests/test_colmajor.py):
+
+- every gather/scatter runs on flat 1-D views (1-D arrays have no lane
+  padding and pairing is preserved by reshape);
+- reductions over r use axis=-2 — no reshapes that move the point axis;
+- the LAE FISTA loop runs in the fused Pallas kernel per chunk inside the
+  map (``fused_lae_tiles``; XLA scan fallback off-TPU) — its operand layout
+  constraint anchors the chunk buffers at row-major;
+- Gram AᵀA and the eigenvector extension scatter each chunk into a dense
+  (c, s) block and ride the MXU; the only O(n·K) arrays are the extension
+  output and its tail-trim slice (K ≥ 128 ⇒ no lane padding).
 """
 
 from __future__ import annotations
@@ -70,13 +81,15 @@ def _fista_t_xla(Gt: jnp.ndarray, bt: jnp.ndarray, iters: int) -> jnp.ndarray:
 
 
 def _lae_weights_t(Gt: jnp.ndarray, bt: jnp.ndarray, iters: int) -> jnp.ndarray:
-    """FISTA on feature-major inputs, Pallas on TPU lowerings (per-lowering
-    dispatch, as ops.lae.lae_weights)."""
+    """FISTA on ONE chunk's feature-major inputs (r², c)/(r, c) → (r, c):
+    Pallas on TPU lowerings, the XLA scan elsewhere.  Called inside the
+    chunk map, so the Pallas operand layout constraint anchors the chunk
+    buffers at row-major — no full-n G/b ever stacks up."""
     import functools as _ft
 
     from .pallas_kernels import _HAVE_PALLAS, fused_lae_tiles
 
-    if not _HAVE_PALLAS or bt.dtype != jnp.float32:
+    if not _HAVE_PALLAS or bt.dtype != jnp.float32 or bt.shape[-1] % 128:
         return _fista_t_xla(Gt, bt, iters)
     return jax.lax.platform_dependent(
         Gt, bt,
@@ -96,145 +109,170 @@ def build_graph_colmajor(
 ) -> tuple:
     """kNN + kernel weights for Xt (d, n) against anchors U (s, d).
 
-    Returns (idx_t (r, npad) int32, w_t (r, npad)) — the RAW (un-normalized)
-    ELL graph in feature-major layout, padded to a chunk multiple; pad
-    columns carry zero weights so every downstream sum ignores them.
-    ``epsilon_sq4`` is the SE denominator (4ε² or a2·d̄,
-    src/Spectrum.cpp:132 / src/Fit.cpp:150)."""
+    Returns (idx (nch, r, c) int32, w (nch, r, c)) — the RAW (un-normalized)
+    ELL graph in the chunked layout; pad points (beyond n) carry zero
+    weights so every downstream sum ignores them.  ``epsilon_sq4`` is the SE
+    denominator (4ε² or a2·d̄, src/Spectrum.cpp:132 / src/Fit.cpp:150)."""
     d, n = Xt.shape
     s = U.shape[0]
     kernel = KernelType(kernel)
     dtype = Xt.dtype
-
-    u2 = jnp.sum(U * U, axis=1)
-    # per-row Gram table: G entries become two flat gathers, so the (n, r, d)
-    # anchor gather (the 20.48 GB allocation of round 2) never exists
-    UUt = jnp.matmul(U, U.T, precision=PRECISION)
+    chunk = min(chunk, ((n + 127) // 128) * 128)
 
     pad = (-n) % chunk
     Xp = jnp.pad(Xt, ((0, 0), (0, pad))) if pad else Xt
     npad = Xp.shape[1]
-    chunks = jnp.moveaxis(Xp.reshape(d, npad // chunk, chunk), 1, 0)  # (nch, d, chunk)
+    nch = npad // chunk
 
-    def one(Xc):
-        xc = Xc.T                                        # (chunk, d)
-        XU = jnp.matmul(xc, U.T, precision=PRECISION)    # (chunk, s) — MXU
-        x2 = jnp.sum(xc * xc, axis=1)
-        dist = x2[:, None] - 2.0 * XU + u2[None, :]
-        neg, idx = jax.lax.top_k(-dist, r)
-        idx = idx.astype(jnp.int32)
+    # Chunks are dynamic-sliced from the (d, npad) array inside the map, and
+    # every per-chunk array is CONSTRUCTED feature-major — no `.T` anywhere
+    # after the kNN: XLA's layout assignment propagates an in-chunk transpose
+    # outward onto the stacked (nch, ·, c) scan buffers as an r-minor layout
+    # (r on the 128-lane axis, 42.7× padding → 2×4.78 GB at n=1e7, measured).
+    # Gathers are safe anchors: a gather's output shape IS its index shape.
+    from .knn import knn
+
+    def one(i):
+        Xc = jax.lax.dynamic_slice(Xp, (0, i * chunk), (d, chunk))
+        xc = Xc.T                                        # (c, d) — chunk-local
+        # production kNN — the fused Pallas kernel on TPU lowerings.  An
+        # inline matmul + lax.top_k here costs 360 s at n=1e6 (measured:
+        # XLA's top_k lowering inside the chunk map serializes); the fused
+        # kernel's iterative min-extraction does the same work in 0.11 s.
+        res = knn(xc, U, r)
+        idx = res.indices                                # (c, r)
+        # feature-major arrays via r column-slices stacked on a NEW leading
+        # axis (not a transpose of the (c, r) array)
+        idx_t = jnp.stack([idx[:, k].astype(jnp.int32) for k in range(r)])
+        if pad:
+            # point j of chunk i is real iff i*c + j < n
+            vc = (i * chunk + jnp.arange(chunk)) < n
+        else:
+            vc = None
+
         if kernel == KernelType.SE:
-            w = jnp.exp(jnp.minimum(neg, 0.0) / epsilon_sq4)
-            return idx.T, w.T.astype(dtype)
-        # LAE terms: b from the already-computed XU, G from the UUt table
-        b = jnp.take_along_axis(XU, idx, axis=1)         # (chunk, r)
-        Gflat = UUt.reshape(-1)[
-            (idx[:, :, None] * s + idx[:, None, :]).reshape(-1, r * r)
-        ]                                                # (chunk, r²)
-        return idx.T, Gflat.T.astype(dtype), b.T.astype(dtype)
+            d_t = jnp.stack([res.sqdists[:, k] for k in range(r)])
+            wt = jnp.exp(jnp.minimum(-d_t, 0.0) / epsilon_sq4).astype(dtype)
+            if vc is not None:
+                wt = wt * vc[None, :].astype(dtype)
+            return idx_t, wt
+        # LAE terms from the gathered anchor rows — the small (s, d) table
+        # gather fuses with the einsums; nothing (c, s)-sized touches HBM
+        Ui = U[idx]                                      # (c, r, d)
+        b_t = jnp.stack(
+            [jnp.einsum("cd,cd->c", xc, Ui[:, k], precision=PRECISION) for k in range(r)]
+        ).astype(dtype)
+        G = jnp.einsum("crd,csd->crs", Ui, Ui, precision=PRECISION)
+        G_t = jnp.stack(
+            [G[:, a, b] for a in range(r) for b in range(r)]
+        ).astype(dtype)
+        w_t = _lae_weights_t(G_t, b_t, lae_iters).astype(dtype)
+        if vc is not None:
+            w_t = w_t * vc[None, :].astype(dtype)
+        return idx_t, w_t
 
-    if kernel == KernelType.SE:
-        idxs, ws = jax.lax.map(one, chunks)
-        idx_t = jnp.moveaxis(idxs, 0, 1).reshape(r, npad)
-        w_t = jnp.moveaxis(ws, 0, 1).reshape(r, npad)
-    else:
-        idxs, Gs, bs = jax.lax.map(one, chunks)
-        idx_t = jnp.moveaxis(idxs, 0, 1).reshape(r, npad)
-        Gt = jnp.moveaxis(Gs, 0, 1).reshape(r * r, npad)
-        bt = jnp.moveaxis(bs, 0, 1).reshape(r, npad)
-        w_t = _lae_weights_t(Gt, bt, lae_iters).astype(dtype)
-
-    if pad:
-        # zero pad-row weights: they then contribute nothing to any colsum,
-        # Gram, or extension; their rows are sliced off at the end
-        valid = (jnp.arange(npad) < n)[None, :]
-        w_t = jnp.where(valid, w_t, 0.0)
-    return idx_t, w_t
+    return jax.lax.map(one, jnp.arange(nch))
 
 
 def normalize_colmajor(
-    idx_t: jnp.ndarray,
-    w_t: jnp.ndarray,
+    idx: jnp.ndarray,
+    w: jnp.ndarray,
     s: int,
     gl: LaplacianType,
     cluster_sizes: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Graph-Laplacian normalization on the feature-major ELL graph —
-    identical semantics to ops.laplacian.normalize_graph_laplacian
-    (src/Utils.cpp:195-212), flat segment-sums instead of (n, r) gathers."""
+    """Graph-Laplacian normalization — identical semantics to
+    ops.laplacian.normalize_graph_laplacian (src/Utils.cpp:195-212).
+
+    Accepts any layout with r on axis −2 and points on axis −1: the chunked
+    (nch, r, c) form or a flat (r, n).  All gathers/scatters run on flat
+    1-D views (2-D gathers with an (r, ·) index array make XLA materialize
+    lane-transposed copies — 42.7× padding at n=1e7)."""
     gl = LaplacianType(gl)
+    shape = w.shape
     if gl != LaplacianType.RW:
-        colsum = jnp.zeros((s,), w_t.dtype).at[idx_t.reshape(-1)].add(w_t.reshape(-1))
+        flat_idx = idx.reshape(-1)
+        flat_w = w.reshape(-1)
+        colsum = jnp.zeros((s,), w.dtype).at[flat_idx].add(flat_w)
         scale = 1.0 / (colsum + EPS)
         if gl == LaplacianType.CLUSTER_NORMALIZED:
             if cluster_sizes is None:
                 raise ValueError("cluster-normalized Laplacian requires cluster sizes")
-            scale = scale * cluster_sizes.astype(w_t.dtype)
-        w_t = w_t * scale[idx_t]
-    rowsum = jnp.sum(w_t, axis=0)
-    return w_t / (rowsum + EPS)[None, :]
+            scale = scale * cluster_sizes.astype(w.dtype)
+        w = (flat_w * scale[flat_idx]).reshape(shape)
+    rowsum = jnp.sum(w, axis=-2, keepdims=True)
+    return w / (rowsum + EPS)
 
 
 def spectrum_colmajor(
-    idx_t: jnp.ndarray,
-    w_t: jnp.ndarray,
+    idx: jnp.ndarray,
+    w: jnp.ndarray,
     s: int,
     K: int,
     root: bool,
     n: int,
-    gram_chunk: int = 1 << 15,
+    gram_block: int = 1 << 15,
 ) -> EigenPair:
-    """Top-K spectrum of W = Z·D⁻¹·Zᵀ from the feature-major ELL graph —
-    the exact Gram+eigh re-design of spectrum_from_Z (src/Spectrum.cpp:146-161),
-    chunked so no point-major intermediate exceeds O(gram_chunk·s).
+    """Top-K spectrum of W = Z·D⁻¹·Zᵀ from the chunked ELL graph — the exact
+    Gram+eigh re-design of spectrum_from_Z (src/Spectrum.cpp:146-161).
 
-    ``n`` is the REAL point count (pad columns must carry zero weights)."""
-    r, npad = idx_t.shape
-    dtype = w_t.dtype
+    ``idx``/``w`` are (nch, r, c) (a flat (r, n) is accepted as one chunk);
+    ``n`` is the REAL point count (pad points must carry zero weights).
+    Each chunk scatters into dense (≤gram_block, s) blocks for the MXU
+    Gram accumulation and eigenvector extension."""
+    if idx.ndim == 2:
+        idx, w = idx[None], w[None]
+    nch, r, c = idx.shape
+    dtype = w.dtype
 
-    colsum = jnp.zeros((s,), dtype).at[idx_t.reshape(-1)].add(w_t.reshape(-1))
+    flat_idx = idx.reshape(-1)
+    flat_w = w.reshape(-1)
+    colsum = jnp.zeros((s,), dtype).at[flat_idx].add(flat_w)
     cinv = 1.0 / jnp.sqrt(jnp.abs(colsum) + EPS)
-    a_t = w_t * cinv[idx_t]                       # A = Z·diag(colsum)^(-1/2)
+    a = (flat_w * cinv[flat_idx]).reshape(nch, r, c)  # A = Z·diag(colsum)^(-1/2)
+    # barrier: `a` is read by BOTH the Gram scan and the extension map —
+    # keep XLA from rematerializing the full-n gather inside each scan step
+    a = jax.lax.optimization_barrier(a)
 
-    pad = (-npad) % gram_chunk
-    if pad:
-        a_t = jnp.pad(a_t, ((0, 0), (0, pad)))
-        idx_t = jnp.pad(idx_t, ((0, 0), (0, pad)))
-    npc = a_t.shape[1]
-    a_ch = jnp.moveaxis(a_t.reshape(r, npc // gram_chunk, gram_chunk), 1, 0)
-    i_ch = jnp.moveaxis(idx_t.reshape(r, npc // gram_chunk, gram_chunk), 1, 0)
-    rows = jnp.broadcast_to(jnp.arange(gram_chunk)[None, :], (r, gram_chunk))
+    # sub-block the chunk columns so the dense scatter block stays
+    # O(gram_block·s) regardless of the build chunk size
+    n_sub = max(1, -(-c // gram_block))
+    sub = -(-c // n_sub)
+    col_slices = [slice(j * sub, min((j + 1) * sub, c)) for j in range(n_sub)]
+
+    def dense_of(ic, ac, sl):
+        cols = sl.stop - sl.start
+        rows = jnp.broadcast_to(jnp.arange(cols)[None, :], (r, cols))
+        return jnp.zeros((cols, s), dtype).at[rows, ic[:, sl]].add(ac[:, sl])
 
     def gram_body(acc, blk):
         ic, ac = blk
-        dense = jnp.zeros((gram_chunk, s), dtype).at[rows, ic].add(ac)
-        return acc + jnp.matmul(dense.T, dense, precision=PRECISION), None
+        for sl in col_slices:
+            dense = dense_of(ic, ac, sl)
+            acc = acc + jnp.matmul(dense.T, dense, precision=PRECISION)
+        return acc, None
 
-    G, _ = jax.lax.scan(gram_body, jnp.zeros((s, s), dtype), (i_ch, a_ch))
-    w, V = jnp.linalg.eigh(G)
-    w = w[::-1][:K]
+    G, _ = jax.lax.scan(gram_body, jnp.zeros((s, s), dtype), (idx, a))
+    wv, V = jnp.linalg.eigh(G)
+    wv = wv[::-1][:K]
     V = V[:, ::-1][:, :K]
-    sigma2 = jnp.maximum(w, 0.0)
+    sigma2 = jnp.maximum(wv, 0.0)
     sigma = jnp.sqrt(sigma2)
 
-    # Eigenvector extension: ONE preallocated (n, K) output updated in place
-    # (XLA donates the fori_loop carry).  The earlier lax.map + [:n] slice +
-    # rescale version held THREE (n, K) ≈ 5.1 GB buffers at n=1e7/K=128 and
-    # OOMed the 16 GB chip mid-execution; here the σ⁻¹·√n rescale is folded
-    # into V so the loop body writes final values, and the tail chunk uses
-    # the shifted-window trick (overlap rows recompute to identical values).
+    # Eigenvector extension — vectors = A·(V·σ⁻¹·√n); the σ⁻¹/√n rescale is
+    # folded into V so the only O(n·K) arrays are the map output and its
+    # tail-trim slice.  Same dense-scatter MXU pattern as the Gram.
     V_ext = V * (jnp.sqrt(jnp.asarray(n, dtype)) / (sigma + EPS))[None, :]
-    c = min(gram_chunk, n)
-    n_blocks = -(-n // c)
 
-    def ext_block(i, out):
-        start = jnp.minimum(i * c, n - c)
-        ic = jax.lax.dynamic_slice(idx_t, (0, start), (r, c))
-        ac = jax.lax.dynamic_slice(a_t, (0, start), (r, c))
-        blk = jnp.einsum("rc,rck->ck", ac, V_ext[ic], precision=PRECISION)
-        return jax.lax.dynamic_update_slice(out, blk, (start, 0))
+    def ext_body(blk):
+        ic, ac = blk
+        outs = [
+            jnp.matmul(dense_of(ic, ac, sl), V_ext, precision=PRECISION)
+            for sl in col_slices
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    vectors = jax.lax.fori_loop(0, n_blocks, ext_block, jnp.zeros((n, K), dtype))
+    vectors = jax.lax.map(ext_body, (idx, a)).reshape(nch * c, K)[:n]
     values = sigma if root else sigma2
     return EigenPair(values, vectors)
 
@@ -254,11 +292,15 @@ def heat_kernel_spectrum_colmajor(
 ) -> EigenPair:
     """Full graph → normalize → spectrum pipeline on (d, n) input: the
     huge-n equivalent of ops.spectrum.cross_similarity_* + spectrum_from_Z
-    with peak HBM O(n·r) instead of O(n·128-padded-lanes)."""
+    with peak HBM O(n·r) + the (n, K) output instead of O(n·128-padded
+    lanes)."""
     n = Xt.shape[1]
     s = U.shape[0]
-    idx_t, w_t = build_graph_colmajor(
-        Xt, U, r, kernel, epsilon_sq4, lae_iters, chunk
-    )
-    w_t = normalize_colmajor(idx_t, w_t, s, gl, cluster_sizes)
-    return spectrum_colmajor(idx_t, w_t, s, K, root, n, gram_chunk=min(chunk, 1 << 15))
+    idx_c, w_c = build_graph_colmajor(Xt, U, r, kernel, epsilon_sq4, lae_iters, chunk)
+    # stage barriers: without them XLA rematerializes the expensive build
+    # (kNN + 150-iteration FISTA) inside the downstream Gram/extension scans
+    # — measured 461 s fused vs 24 s staged for the identical n=1e7 program
+    idx_c, w_c = jax.lax.optimization_barrier((idx_c, w_c))
+    w_c = normalize_colmajor(idx_c, w_c, s, gl, cluster_sizes)
+    idx_c, w_c = jax.lax.optimization_barrier((idx_c, w_c))
+    return spectrum_colmajor(idx_c, w_c, s, K, root, n)

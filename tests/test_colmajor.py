@@ -45,15 +45,22 @@ class TestFistaTransposed:
         np.testing.assert_allclose(np.asarray(got.T), np.asarray(ref), atol=1e-12)
 
 
+def _flatten_chunked(arr_c, n):
+    """(nch, r, c) chunked layout → point-major (n, r) numpy view."""
+    a = np.asarray(arr_c)
+    nch, r, c = a.shape
+    return np.moveaxis(a, 1, 2).reshape(nch * c, r)[:n]
+
+
 class TestBuildGraphColmajor:
     def test_lae_graph_matches(self):
         X, U = _data()
         idx = knn(X, U, 3).indices
         w = lae_weights_xla(X, U, idx, iters=150)
         n = X.shape[0]
-        idx_t, w_t = build_graph_colmajor(X.T, U, 3, KernelType.LAE, chunk=128)
-        np.testing.assert_array_equal(np.asarray(idx_t[:, :n].T), np.asarray(idx))
-        np.testing.assert_allclose(np.asarray(w_t[:, :n].T), np.asarray(w), atol=1e-10)
+        idx_c, w_c = build_graph_colmajor(X.T, U, 3, KernelType.LAE, chunk=128)
+        np.testing.assert_array_equal(_flatten_chunked(idx_c, n), np.asarray(idx))
+        np.testing.assert_allclose(_flatten_chunked(w_c, n), np.asarray(w), atol=1e-10)
 
     def test_se_graph_matches(self):
         X, U = _data(seed=3)
@@ -61,17 +68,18 @@ class TestBuildGraphColmajor:
         eps4 = jnp.asarray(4.0 * 0.7**2)
         vals = jnp.exp(-res.sqdists / eps4)
         n = X.shape[0]
-        idx_t, w_t = build_graph_colmajor(
+        idx_c, w_c = build_graph_colmajor(
             X.T, U, 3, KernelType.SE, epsilon_sq4=eps4, chunk=128
         )
-        np.testing.assert_array_equal(np.asarray(idx_t[:, :n].T), np.asarray(res.indices))
-        np.testing.assert_allclose(np.asarray(w_t[:, :n].T), np.asarray(vals), atol=1e-12)
+        np.testing.assert_array_equal(_flatten_chunked(idx_c, n), np.asarray(res.indices))
+        np.testing.assert_allclose(_flatten_chunked(w_c, n), np.asarray(vals), atol=1e-12)
 
     def test_pad_rows_zero_weight(self):
         X, U = _data(n=100)
-        idx_t, w_t = build_graph_colmajor(X.T, U, 3, KernelType.LAE, chunk=64)
-        assert w_t.shape[1] == 128
-        np.testing.assert_allclose(np.asarray(w_t[:, 100:]), 0.0)
+        idx_c, w_c = build_graph_colmajor(X.T, U, 3, KernelType.LAE, chunk=64)
+        flat = _flatten_chunked(w_c, w_c.shape[0] * w_c.shape[2])
+        assert flat.shape[0] == 128
+        np.testing.assert_allclose(flat[100:], 0.0)
 
 
 class TestNormalizeColmajor:
