@@ -133,7 +133,13 @@ def bench_goldens(report: MetricsReport):
 
 
 def bench_sampling(report: MetricsReport, torus_eig):
-    """ESS/sec/chip on the torus GPC posterior — HMC and NUTS (north star)."""
+    """ESS/sec/chip on the torus GPC posterior — HMC and NUTS (north star).
+
+    Not comparable to BENCH_r01/r02's gpc_min_ess_per_sec_per_chip: those
+    rounds paired *spiral* eigenvectors with torus labels (the result-variable
+    mixup fixed in bench_goldens) and sampled a meaningless near-Gaussian
+    posterior that mixed artificially fast.  This is the first round measuring
+    the stated benchmark."""
     from flgp_tpu.datasets import torus_rings_r
     from flgp_tpu.inference.diagnostics import ess
     from flgp_tpu.inference.hmc import run_hmc
@@ -358,8 +364,9 @@ def bench_scaling_subprocess():
     for line in proc.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
-    _mark(f"scaling subprocess failed: {proc.stderr[-500:]}")
-    return {}
+    # surface the failure through guarded() so it lands in the JSON `errors`
+    # field instead of silently dropping the scaling numbers
+    raise RuntimeError(f"scaling subprocess produced no JSON: {proc.stderr[-400:]}")
 
 
 def bench_spectral_1e6(report: MetricsReport):
