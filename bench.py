@@ -197,6 +197,14 @@ def bench_sampling(report: MetricsReport, torus_eig):
         np.min(ess(np.asarray(frun.samples, np.float64)))
     ) / hmc_fs
     out["hmc_fixed_accept_mean"] = float(jnp.mean(frun.accept_prob))
+    # raw leapfrog throughput (BASELINE north-star: "vectorized log-prob +
+    # leapfrog throughput per chip").  One gradient per leapfrog step; each
+    # whitened-GPC gradient is dominated by two (m, K) matvecs fwd + two in
+    # reverse ≈ 8·m·K flops.
+    n_leap = 16
+    steps = n_chains * n_fixed * n_leap
+    out["hmc_leapfrog_steps_per_sec"] = steps / hmc_fs
+    out["hmc_logprob_grad_est_gflops"] = steps * 8.0 * m * K / hmc_fs / 1e9
 
     _mark("sampling: NUTS (adaptive)")
     nuts = jax.jit(lambda k, x: run_nuts(k, logpost, x, n_warmup=256, n_samples=n_samp, max_depth=8))
