@@ -179,11 +179,11 @@ def bench_sampling(report: MetricsReport, torus_eig):
     from flgp_tpu.inference.nuts import run_nuts_fixed
 
     _mark("sampling: HMC (steady-state)")
-    n_fixed = 2048
+    n_fixed, n_leap = 2048, 16
     x_adapted = run.samples[-1]
     hmc_f = jax.jit(
         lambda k, x: run_hmc_fixed(
-            k, logpost, x, run.step, run.inv_mass, n_samples=n_fixed, n_leapfrog=16
+            k, logpost, x, run.step, run.inv_mass, n_samples=n_fixed, n_leapfrog=n_leap
         )
     )
     _fetch(hmc_f(jax.random.PRNGKey(6), x_adapted).samples)
@@ -201,7 +201,6 @@ def bench_sampling(report: MetricsReport, torus_eig):
     # leapfrog throughput per chip").  One gradient per leapfrog step; each
     # whitened-GPC gradient is dominated by two (m, K) matvecs fwd + two in
     # reverse ≈ 8·m·K flops.
-    n_leap = 16
     steps = n_chains * n_fixed * n_leap
     out["hmc_leapfrog_steps_per_sec"] = steps / hmc_fs
     out["hmc_logprob_grad_est_gflops"] = steps * 8.0 * m * K / hmc_fs / 1e9

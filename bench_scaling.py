@@ -43,11 +43,9 @@ def main():
     gp = WhitenedGP(V, lam, 1e-3)
     logpost = GpcLogPost(gp, Y, jnp.ones((m,), jnp.float32), 1e-2, 10.0, 2.0)
     x0 = 0.1 * jax.random.normal(kx, (n_chains, K + 1), jnp.float32)
-    # sharded_hmc_fn consumes (C, 2, 2): per-chain stacked key pairs
-    # (tests/test_parallel.py:166-167 layout); a flat (C, 2) split leaves the
-    # shard-local slice a scalar key and random_wrap rejects it
+    # sharded_hmc_fn consumes the natural (C, 2) split: one raw key pair per
+    # chain; each shard seeds its local run_hmc batch from its first pair
     keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
-    keys = jnp.stack([keys, keys], axis=1)
 
     def rate_at(n_dev: int) -> float:
         mesh = make_mesh(n_dev, axis_names=("chain",))

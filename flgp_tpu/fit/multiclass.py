@@ -205,7 +205,7 @@ def fit_nystrom_logit_mult_gp(key, X, Y, X_new, cfg: FitConfig = FitConfig()) ->
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m", "n", "J"))
 def _gl_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: int):
-    K = cfg.graph.K if cfg.graph.K > 0 else min(cfg.graph.s, n)
+    K = min(cfg.graph.K, n) if cfg.graph.K > 0 else min(cfg.graph.s, n)
     basis = spectral.gl_setup(X_all, cfg.gl_sparse, cfg.gl_threshold)
     idx = jnp.arange(m)
     aug_y = one_hot_labels(Y, J)

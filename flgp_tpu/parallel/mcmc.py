@@ -29,11 +29,15 @@ def sharded_hmc_fn(
     axis: str = "chain",
 ):
     """Returns fn(keys (C, 2), x0 (C, dim)) → HmcRun with the chain axis
-    sharded over ``axis``.  C must be a multiple of the axis size."""
+    sharded over ``axis``.  C must be a multiple of the axis size.
+
+    ``keys`` is the natural ``jax.random.split(key, C)`` output — one raw
+    uint32 key pair per chain; each shard seeds its local ``run_hmc`` batch
+    from its first local pair (the inner vmap re-splits per chain)."""
 
     def fn(keys_local, x0_local):
         run = run_hmc(
-            keys_local[0, 0],
+            keys_local[0],
             logprob,
             x0_local,
             n_warmup=n_warmup,
@@ -63,14 +67,16 @@ def sharded_nuts_fn(
     axis: str = "chain",
 ):
     """Chain-sharded NUTS: fn(keys (C, 2), x0 (C, dim)) → NutsRun with the
-    chain axis sharded over ``axis``.  Like HMC, chains are independent —
-    warmup adaptation (dual averaging + diagonal mass) is per-chain, so the
-    hot loop has zero collectives; pool results with
-    :func:`pooled_mean_variance` / ``inference.diagnostics`` afterwards."""
+    chain axis sharded over ``axis``; ``keys`` is the natural
+    ``jax.random.split(key, C)`` output, one raw key pair per chain.  Like
+    HMC, chains are independent — warmup adaptation (dual averaging +
+    diagonal mass) is per-chain, so the hot loop has zero collectives; pool
+    results with :func:`pooled_mean_variance` / ``inference.diagnostics``
+    afterwards."""
 
     def fn(keys_local, x0_local):
         return run_nuts(
-            keys_local[0, 0],
+            keys_local[0],
             logprob,
             x0_local,
             n_warmup=n_warmup,

@@ -164,7 +164,6 @@ class TestChainParallel:
 
         n_chains = 2 * N_DEV
         keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n_chains)])
-        keys = jnp.stack([keys, keys], axis=1)
         x0 = jnp.asarray(rng.normal(size=(n_chains, dim)))
 
         hmc = jax.jit(sharded_hmc_fn(chain_mesh, logprob, n_warmup=100, n_samples=200, n_leapfrog=8))
@@ -184,7 +183,6 @@ class TestChainParallel:
 
         n_chains = 2 * N_DEV
         keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n_chains)])
-        keys = jnp.stack([keys, keys], axis=1)
         x0 = jnp.asarray(rng.normal(size=(n_chains, dim)))
 
         nuts = jax.jit(sharded_nuts_fn(chain_mesh, logprob, n_warmup=100, n_samples=200))
