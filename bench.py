@@ -419,6 +419,37 @@ def bench_spectral_1e6(report: MetricsReport):
             dt6 = time.perf_counter() - t0
             out["spectral_stage_n1e6_s"] = dt6
 
+    # per-substage breakdown (separately jitted, so the sum carries a little
+    # extra dispatch + HBM round-trip vs the fused stage): subsampler vs
+    # graph assembly (kNN+LAE+normalize+A·V) vs the (s, s) eigh
+    sub_fn = jax.jit(lambda X, k: subsample(k, X, s_big, Subsample.MINIBATCH_KMEANS, 1, 50))
+
+    def graph_parts(X, U):
+        res = _knn(X, U, 3)
+        w = _lae(X, U, res.indices)
+        Z = _Ell(w, res.indices, s_big)
+        Z = _norm(Z, LaplacianType.NORMALIZED, None)
+        colsum = Z.colsum()
+        A = Z.scale_cols(1.0 / jnp.sqrt(jnp.abs(colsum) + 1e-9))
+        return A.gram()
+
+    gram_fn = jax.jit(graph_parts)
+    eigh_fn = jax.jit(jnp.linalg.eigh)
+    _fetch(sub_fn(X1, jax.random.PRNGKey(98)).centers)
+    t0 = time.perf_counter()
+    sub6 = sub_fn(X1, jax.random.PRNGKey(4))
+    _fetch(sub6.centers)
+    out["spectral_n1e6_subsample_s"] = time.perf_counter() - t0
+    _fetch(gram_fn(X1, sub_fn(X1, jax.random.PRNGKey(97)).centers))
+    t0 = time.perf_counter()
+    G6 = gram_fn(X1, sub6.centers)
+    _fetch(G6)
+    out["spectral_n1e6_graph_s"] = time.perf_counter() - t0
+    _fetch(eigh_fn(G6 + 1e-6)[0])
+    t0 = time.perf_counter()
+    _fetch(eigh_fn(G6)[0])
+    out["spectral_n1e6_eigh_s"] = time.perf_counter() - t0
+
     # analytic cost model for the stage (dominant terms): distance matmul,
     # LAE G/b assembly + FISTA, ELL gram/matmat, eigh.  The stage is
     # bandwidth/latency-bound, not MXU-bound — report both utilizations.

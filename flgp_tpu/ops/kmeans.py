@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Subsample
-from .distance import sqdist_blocked
+from .distance import sqdist, sqdist_blocked
 from .knn import knn
 
 
@@ -102,15 +102,93 @@ def _kmeanspp_rows(key: jax.Array, X: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.concatenate([c0[None, :], centers_rest], axis=0)
 
 
+def _kmeanspar_rows(
+    key: jax.Array, X: jnp.ndarray, s: int, rounds: int = 4,
+    oversample: float = 2.0, polish_iters: int = 5,
+) -> jnp.ndarray:
+    """k-means‖ seeding (Bahmani et al. 2012) with static shapes.
+
+    k-means++'s s−1 *sequential* O(n·d) distance updates are the classic
+    serial-seeding bottleneck on accelerators (it dominated the n=1e6
+    spectral stage).  k-means‖ replaces them with ``rounds`` batched passes:
+    each round draws a fixed block of B ≈ oversample·s/rounds candidates
+    with probability ∝ d²(x, nearest chosen) — Gumbel-top-B is exactly
+    weighted sampling without replacement, so the variable-size Bernoulli
+    draw of the paper becomes a static top_k — then one blocked kNN pass
+    updates the distances.  The ~2s candidates are weighted by their 1-NN
+    mass and reduced to s seeds by weighted k-means++ *on the candidate set*
+    (O(s·C·d) total — trivial) plus a few weighted Lloyd polish iterations.
+
+    Sequential depth: rounds + s tiny candidate-set steps, vs k-means++'s
+    s − 1 full-data steps.  Replaces the quality role of R's Hartigan–Wong
+    (src/Utils.cpp:37-42) at TPU-native speed.
+    """
+    n, d = X.shape
+    B = max(-(-int(oversample * s) // rounds), 1)
+    C = 1 + rounds * B
+    k0, kr, kpp = jax.random.split(key, 3)
+    i0 = jax.random.randint(k0, (), 0, n)
+    c0 = X[i0]
+    mind0 = jnp.sum((X - c0[None, :]) ** 2, axis=1)
+
+    def round_step(mind, k):
+        logits = jnp.log(jnp.maximum(mind, 1e-30))
+        _, idx = jax.lax.top_k(logits + jax.random.gumbel(k, (n,), logits.dtype), B)
+        cands = X[idx]
+        nd = knn(X, cands, 1).sqdists[:, 0]
+        return jnp.minimum(mind, nd), cands
+
+    _, cr = jax.lax.scan(round_step, mind0, jax.random.split(kr, rounds))
+    cands = jnp.concatenate([c0[None, :], cr.reshape(rounds * B, d)], axis=0)
+
+    # weight candidates by their 1-NN mass over the full dataset
+    assign = knn(X, cands, 1).indices[:, 0]
+    w = jnp.zeros((C,), X.dtype).at[assign].add(1.0)
+
+    # weighted k-means++ over the candidate set (C ≈ 2s: each step is O(C·d))
+    dcc = jnp.maximum(sqdist(cands, cands), 0.0)
+    j0 = jnp.argmax(w)
+    c_first = cands[j0]
+
+    def pp_step(mindc, k):
+        logits = jnp.log(jnp.maximum(w * mindc, 1e-30))
+        j = jnp.argmax(logits + jax.random.gumbel(k, (C,), logits.dtype))
+        return jnp.minimum(mindc, dcc[j]), cands[j]
+
+    _, rest = jax.lax.scan(pp_step, dcc[j0], jax.random.split(kpp, s - 1))
+    centers = jnp.concatenate([c_first[None, :], rest], axis=0)
+
+    # weighted Lloyd polish on the candidate set
+    def lloyd_step(centers, _):
+        a = jnp.argmin(sqdist(cands, centers), axis=1)
+        cw = jnp.zeros((s,), X.dtype).at[a].add(w)
+        csum = jnp.zeros((s, d), X.dtype).at[a].add(w[:, None] * cands)
+        new = jnp.where(cw[:, None] > 0, csum / jnp.maximum(cw, 1.0)[:, None], centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(lloyd_step, centers, None, length=polish_iters)
+    return centers
+
+
 def kmeans(
     key: jax.Array, X: jnp.ndarray, s: int, nstart: int = 1, iters: int = 100,
-    init: str = "kmeans++",
+    init: str = "auto",
 ) -> SubsampleResult:
     """k-means with ``nstart`` restarts, best by within-cluster SS
-    (mirrors stats::kmeans semantics, src/Utils.cpp:37-42).  Default init is
-    k-means++; ``init="random"`` recovers plain random-row seeding."""
+    (mirrors stats::kmeans semantics, src/Utils.cpp:37-42).
+
+    ``init``: "auto" seeds with k-means‖ when the data is large enough for
+    the serial k-means++ scan to hurt (n ≥ 4s and s ≥ 64) and k-means++
+    otherwise; "kmeans||", "kmeans++", and "random" force a scheme."""
+    n = X.shape[0]
+    if init == "auto":
+        init = "kmeans||" if (n >= 4 * s and s >= 64) else "kmeans++"
+    seed_fn = {
+        "kmeans||": _kmeanspar_rows,
+        "kmeans++": _kmeanspp_rows,
+        "random": _random_rows,
+    }[init]
     keys = jax.random.split(key, nstart)
-    seed_fn = _kmeanspp_rows if init == "kmeans++" else _random_rows
 
     def one(k):
         return lloyd(X, seed_fn(k, X, s), iters)
@@ -143,10 +221,15 @@ def minibatch_kmeans(
         kinit, kiter = jax.random.split(k)
         centers0 = _random_rows(kinit, X, s)
         ncounts0 = jnp.zeros((s,), dtype=X.dtype)
+        # all minibatch indices drawn up front in ONE op: the per-step
+        # choice(replace=False) this replaces was an O(n)-work *sequential*
+        # host-of-the-loop permutation per iteration — it dominated the
+        # n=1e6 spectral stage (~90% of wall-clock).  With-replacement
+        # within a batch is immaterial to Sculley's update.
+        bidxs = jax.random.randint(kiter, (iters, batch_size), 0, n)
 
-        def step(carry, kb):
+        def step(carry, bidx):
             centers, ncounts = carry
-            bidx = jax.random.choice(kb, n, shape=(batch_size,), replace=False)
             Xb = X[bidx]
             assign, _ = _assign(Xb, centers)
             bc = jnp.zeros((s,), dtype=X.dtype).at[assign].add(1.0)
@@ -157,7 +240,7 @@ def minibatch_kmeans(
             centers = centers + lr[:, None] * (bmean - centers)
             return (centers, ncounts), None
 
-        (centers, _), _ = jax.lax.scan(step, (centers0, ncounts0), jax.random.split(kiter, iters))
+        (centers, _), _ = jax.lax.scan(step, (centers0, ncounts0), bidxs)
         _, mind = _assign(X, centers)
         return centers, jnp.sum(mind)
 
