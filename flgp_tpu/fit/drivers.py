@@ -236,6 +236,10 @@ def _instrumented_lae_fit(key, X_all, Y, N, cfg: FitConfig, m, n, max_count, tas
             res = train(seig, Ys)
             slot["_sync"] = res.t
         metrics["train_s"] = report.stages[-1].wall_s
+        # SURVEY §5 failure detection: Adam convergence status — gradient
+        # norm (log-coords) at the returned iterate plus the best objective
+        metrics["adam_grad_norm"] = float(res.grad_norm)
+        metrics["train_obj"] = float(res.obj)
         tail = jax.jit(lambda e, y, t, nz: _gpr_tail(e, y, m, n, K, scfg, t, nz))
         with report.stage("predict") as slot:
             out = tail(seig, Ys, res.t, res.noise)
@@ -248,6 +252,20 @@ def _instrumented_lae_fit(key, X_all, Y, N, cfg: FitConfig, m, n, max_count, tas
             res = train(seig, Ys, Ns)
             slot["_sync"] = res.x
         metrics["train_s"] = report.stages[-1].wall_s
+        # SURVEY §5 failure detection: 1-D refiner bracket + Newton status at
+        # the selected t (iters == max_iter with delta >= tol ⇒ non-converged;
+        # the reference's only signal is a printed "nlopt failed!",
+        # src/train.cpp:63-65)
+        metrics["opt_bracket_logwidth"] = float(res.bracket_logwidth)
+        metrics["opt_window_expansions"] = float(res.n_expansions)
+        _, n_it, n_delta = jax.jit(
+            lambda e, y, nv, t: gpc_mod.gpc_nmll_objective_status(
+                e, y, nv, jnp.arange(m), K, t, scfg.sigma,
+                tol=scfg.train.newton_tol, max_iter=scfg.train.newton_max_iter,
+            )
+        )(seig, Ys, Ns, res.x)
+        metrics["newton_iters"] = float(n_it)
+        metrics["newton_final_delta"] = float(n_delta)
         tail = jax.jit(
             lambda k, e, y, nv, t: _gpc_tail(k, e, y, nv, m, n, K, scfg, t, max_count)
         )

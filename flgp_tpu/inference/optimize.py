@@ -28,7 +28,9 @@ _GR = 0.6180339887498949  # golden ratio conjugate
 
 class Scalar1DResult(NamedTuple):
     x: jnp.ndarray
-    obj: jnp.ndarray  # objective value at x (minimized)
+    obj: jnp.ndarray               # objective value at x (minimized)
+    bracket_logwidth: jnp.ndarray  # final refinement bracket width in log-x
+    n_expansions: jnp.ndarray      # window shifts taken (== max_expand → top-pinned)
 
 
 def minimize_1d_log(
@@ -77,7 +79,7 @@ def minimize_1d_log(
         us2, fs2, i2 = scan_window(us[-1], us[-1] + span)
         return us2, fs2, i2, rounds + 1
 
-    us, fs, i, _ = jax.lax.while_loop(exp_cond, exp_body, (us, fs, i, jnp.int32(0)))
+    us, fs, i, n_exp = jax.lax.while_loop(exp_cond, exp_body, (us, fs, i, jnp.int32(0)))
     wa, wb = us[0], us[-1]
     a = us[jnp.maximum(i - 1, 0)]
     b = us[jnp.minimum(i + 1, n_grid - 1)]
@@ -100,12 +102,13 @@ def minimize_1d_log(
     (a, b, best_u, best_f), _ = jax.lax.scan(
         round_body, (a, b, us[i], fs[i]), None, length=refine_rounds
     )
-    return Scalar1DResult(jnp.exp(best_u), best_f)
+    return Scalar1DResult(jnp.exp(best_u), best_f, b - a, n_exp)
 
 
 class AdamResult(NamedTuple):
     x: jnp.ndarray
     obj: jnp.ndarray
+    grad_norm: jnp.ndarray  # ‖∇fn‖ at the returned iterate (convergence status)
 
 
 def adam_minimize(
@@ -146,15 +149,17 @@ def adam_minimize(
     )
     f_final = fn(x)
     take_final = jnp.logical_and(jnp.isfinite(f_final), f_final < best_f)
-    return AdamResult(
-        jnp.where(take_final, x, best_x), jnp.where(take_final, f_final, best_f)
-    )
+    x_out = jnp.where(take_final, x, best_x)
+    f_out = jnp.where(take_final, f_final, best_f)
+    g_out = vg(x_out)[1]
+    return AdamResult(x_out, f_out, jnp.linalg.norm(g_out))
 
 
 class GprOptResult(NamedTuple):
     t: jnp.ndarray
     noise: jnp.ndarray
-    obj: jnp.ndarray  # minimized objective value
+    obj: jnp.ndarray        # minimized objective value
+    grad_norm: jnp.ndarray  # ‖∇obj‖ (log-coords) at the Adam iterate (status)
 
 
 def minimize_t_noise(
@@ -198,6 +203,7 @@ def minimize_t_noise(
         jnp.where(better, t, flatT[i]),
         jnp.where(better, noise, flatN[i]),
         jnp.minimum(res.obj, vals[i]),
+        res.grad_norm,
     )
 
 
@@ -229,4 +235,4 @@ def minimize_t_noisevec(
     res = adam_minimize(obj_flat, x0, steps=adam_steps, lr=adam_lr)
     t = t_lb + jnp.exp(res.x[0])
     noise = noise_lb + jnp.exp(res.x[1:])
-    return GprOptResult(t, noise, res.obj)
+    return GprOptResult(t, noise, res.obj, res.grad_norm)

@@ -96,6 +96,17 @@ def gpc_marginal_log_likelihood_lowrank(
     tol: float = 1e-5,
     max_iter: int = 100,
 ) -> jnp.ndarray:
+    return gpc_marginal_log_likelihood_lowrank_status(Phi, Y, N, sigma, tol, max_iter)[0]
+
+
+def gpc_marginal_log_likelihood_lowrank_status(
+    Phi: jnp.ndarray,
+    Y: jnp.ndarray,
+    N: jnp.ndarray,
+    sigma: float,
+    tol: float = 1e-5,
+    max_iter: int = 100,
+):
     """Laplace marginal for C = ΦΦᵀ + σI via the whitened K-dim Woodbury
     dual — exact (same value as :func:`gpc_marginal_log_likelihood` on the
     dense C, tested), but every Newton step costs O(mK² + K³) instead of
@@ -107,7 +118,11 @@ def gpc_marginal_log_likelihood_lowrank(
 
     This is what makes hyperparameter posteriors (SMC/NUTS over t) cheap at
     large m: the reference's objective is the m×m primal
-    (src/train.cpp:716-760)."""
+    (src/train.cpp:716-760).
+
+    Returns (amll, newton_iters, final_delta) — the iteration count and last
+    Σ|Δf| are the structured convergence status SURVEY §5 calls for (the
+    reference's Newton loop exits silently, src/train.cpp:732-751)."""
     K = Phi.shape[1]
     eyeK = jnp.eye(K, dtype=Phi.dtype)
 
@@ -145,12 +160,12 @@ def gpc_marginal_log_likelihood_lowrank(
         return it + 1, f_new, (a, logdet_half), delta
 
     zero = jnp.zeros((), Phi.dtype)
-    _, f, (a, logdet_half), _ = jax.lax.while_loop(
+    it, f, (a, logdet_half), delta = jax.lax.while_loop(
         cond, body, (jnp.int32(0), f0, (f0, zero), jnp.asarray(jnp.inf, Phi.dtype))
     )
     amll = -0.5 * jnp.sum(a * f)
     amll = amll + jnp.sum(Y * jax.nn.log_sigmoid(f) + (N - Y) * jax.nn.log_sigmoid(-f))
-    return amll - logdet_half
+    return amll - logdet_half, it, delta
 
 
 def gpc_nmll_objective(
@@ -171,14 +186,41 @@ def gpc_nmll_objective(
     the reference's GPR m>K branch, src/train.cpp:393-433, which the
     reference never built for its GPC objective): every Newton step is
     O(mK² + K³) instead of O(m³), same value (dense equality tested)."""
+    return gpc_nmll_objective_status(
+        eigenpair, Y, N, idx, K, t, sigma, tol, max_iter
+    )[0]
+
+
+def gpc_nmll_objective_status(
+    eigenpair: EigenPair,
+    Y: jnp.ndarray,
+    N: jnp.ndarray,
+    idx: jnp.ndarray,
+    K: int,
+    t: jnp.ndarray,
+    sigma: float,
+    tol: float = 1e-5,
+    max_iter: int = 100,
+):
+    """As :func:`gpc_nmll_objective`, additionally returning the Newton
+    solver status (iteration count, final Σ|Δf|) from the mode-finding loop —
+    the SURVEY §5 failure-detection signal.  ``newton_iters == max_iter``
+    with ``delta >= tol`` means the mode search exhausted its budget."""
     m = idx.shape[0]
     if m > K:
         lam = eigenpair.laplacian_eigenvalues(K)
         Phi = eigenpair.vectors[idx, :K] * jnp.exp(-0.5 * t * lam)[None, :]
-        return -gpc_marginal_log_likelihood_lowrank(Phi, Y, N, sigma, tol, max_iter)
+        amll, it, delta = gpc_marginal_log_likelihood_lowrank_status(
+            Phi, Y, N, sigma, tol, max_iter
+        )
+        return -amll, it, delta
     C = heat_kernel(eigenpair, t, K, idx, idx)
     C = linalg.add_diag(C, jnp.full((m,), sigma, C.dtype))
-    return -gpc_marginal_log_likelihood(C, Y, N, tol, max_iter)
+    st = _newton_mode(C, Y, N, tol, max_iter)
+    amll = -0.5 * jnp.sum(st.a * st.f)
+    amll = amll + jnp.sum(Y * jax.nn.log_sigmoid(st.f) + (N - Y) * jax.nn.log_sigmoid(-st.f))
+    amll = amll - st.logdet_half
+    return -amll, st.it, st.delta
 
 
 def gpc_nlp_objective(

@@ -263,3 +263,46 @@ class TestPerPointNoiseDriver:
         assert rmse < 0.6
         # the learned noise should be larger (on average) for the noisy half
         assert noise_vec[m // 2:].mean() > noise_vec[: m // 2].mean()
+
+
+class TestSolverStatus:
+    """SURVEY §5 failure detection: instrumented fits surface structured
+    solver-convergence status (Newton iterations/delta, 1-D refiner bracket,
+    Adam gradient norm) in FitResult.metrics — the reference's only signal is
+    a printed "nlopt failed!" (src/train.cpp:63-65)."""
+
+    def test_gpc_instrumented_metrics(self, spiral_data):
+        from flgp_tpu.utils.metrics import MetricsReport
+
+        x = np.asarray(spiral_data.x_train)
+        y = (np.asarray(spiral_data.y_train) > 0).astype(np.float64)
+        cfg = FitConfig(graph=CFG_GRAPH, train=CFG_TRAIN, sigma=1e-3, dtype=jnp.float64)
+        report = MetricsReport()
+        res = flgp_tpu.fit_lae_logit_gp(
+            KEY, x, y, np.asarray(spiral_data.x_test), cfg=cfg, report=report
+        )
+        m = res.metrics
+        assert m is not None
+        # Newton mode-finding converged within budget at the selected t
+        assert 1 <= m["newton_iters"] <= cfg.train.newton_max_iter
+        assert (
+            m["newton_final_delta"] < cfg.train.newton_tol
+            or m["newton_iters"] == cfg.train.newton_max_iter
+        )
+        # refinement bracket collapsed far below the coarse grid cell
+        assert 0.0 <= m["opt_bracket_logwidth"] < 0.1
+        assert m["opt_window_expansions"] >= 0.0
+
+    def test_gpr_instrumented_metrics(self, spiral_data):
+        from flgp_tpu.utils.metrics import MetricsReport
+
+        cfg = FitConfig(graph=CFG_GRAPH, train=CFG_TRAIN, sigma=1e-5, dtype=jnp.float64)
+        report = MetricsReport()
+        res = flgp_tpu.fit_lae_regression_gp(
+            KEY, spiral_data.x_train, spiral_data.y_train, spiral_data.x_test,
+            cfg, report=report,
+        )
+        m = res.metrics
+        assert m is not None
+        assert np.isfinite(m["adam_grad_norm"])
+        assert np.isfinite(m["train_obj"])
