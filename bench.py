@@ -287,6 +287,20 @@ def bench_multiclass_smc(report: MetricsReport):
     out["mult_smc_s"] = smc_s
     out["mult_smc_t_mean"] = float(jnp.mean(post.t_mean))
     out["mult_smc_t_sd"] = float(jnp.mean(post.t_sd))
+
+    # statistical validation: the target is 1-D per class, so trapezoid
+    # quadrature over log t is exact ground truth for the SMC moments
+    _mark("multiclass: t-posterior quadrature check")
+    from flgp_tpu.inference.hyperparam import mult_t_quadrature
+
+    quad = jax.jit(
+        lambda: mult_t_quadrature(eig, aug_y, idx, 100, 1e-3, newton_max_iter=25)
+    )()
+    _fetch(quad.t_mean)
+    qerr = jnp.abs(post.t_mean - quad.t_mean) / quad.t_sd
+    out["mult_t_quad_mean"] = float(jnp.mean(quad.t_mean))
+    out["mult_smc_t_mean_quad_err"] = float(jnp.mean(qerr))
+    out["mult_smc_t_mean_quad_err_max"] = float(jnp.max(qerr))
     return out
 
 
