@@ -328,11 +328,20 @@ def bench_ablation_nuts(report: MetricsReport):
 
     def spectrum_for(kernel: str):
         if kernel == "nystrom":
+            # rcond clamps the extension's 1/λ at near-null anchor
+            # eigenvalues (fit/spectral.py:nystrom_extend): without it the
+            # posterior's adapted-metric Hessian condition is ~3e16 and NUTS
+            # mixes ~40× worse than LAE/SE (the round-3 pathology)
+            out["ablation_nystrom_rcond"] = 1e-3
+
             @jax.jit
             def build(k):
                 basis = nystrom_setup(k, X_all, g)
                 anchor, Z_UU = nystrom_anchor_eigs(basis, jnp.float32(1.0), K)
-                return nystrom_extend(anchor, Z_UU, basis.dist_allU, jnp.float32(1.0), basis.dist_mean, True)
+                return nystrom_extend(
+                    anchor, Z_UU, basis.dist_allU, jnp.float32(1.0),
+                    basis.dist_mean, True, rcond=1e-3,
+                )
             return build
         gk = dataclasses.replace(g, kernel=KernelType(kernel))
 

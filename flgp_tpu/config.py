@@ -86,6 +86,12 @@ class GraphConfig:
     nstart: int = 1                   # k-means restarts
     kmeans_iters: int = 100           # Lloyd iterations (src/Utils.cpp:41)
     epsilon: float = 0.1              # SE bandwidth for covariance-only entry point
+    # pinv-style relative cutoff on the Nyström extension's inverse
+    # eigenvalues (fit/spectral.py:nystrom_extend).  0.0 = the reference's
+    # raw 1/λ (src/Fit.cpp:289); ~1e-3 recommended when sampling the
+    # resulting posterior (near-null anchor eigenvalues otherwise amplify
+    # noise into pathologically stiff latent directions).
+    nystrom_rcond: float = 0.0
 
     def __post_init__(self):
         # Eager validation: the reference aborts deep inside C++ on bad
@@ -110,6 +116,10 @@ class GraphConfig:
             raise ValueError(f"GraphConfig.nstart must be >= 1, got {self.nstart}")
         if self.epsilon <= 0:
             raise ValueError(f"GraphConfig.epsilon must be > 0, got {self.epsilon}")
+        if not 0.0 <= self.nystrom_rcond < 1.0:
+            raise ValueError(
+                f"GraphConfig.nystrom_rcond must be in [0, 1), got {self.nystrom_rcond}"
+            )
         # Coerce raw strings ("kmeans", "lae", "rw") to the enums so the
         # reference's stringly-typed call sites translate one-for-one.
         for field, enum_t in (

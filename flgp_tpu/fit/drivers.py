@@ -461,7 +461,8 @@ def _nystrom_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int)
     def per_a2(a2):
         anchor, Z_UU = spectral.nystrom_anchor_eigs(basis, a2, K)
         eig_train = spectral.nystrom_extend(
-            anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False
+            anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False,
+            rcond=g.nystrom_rcond,
         )
         scfg, seig, (Ys,) = _solve_cast(cfg, eig_train, Y)
         res = _train_gpr(seig, Ys, idx, K, scfg)
@@ -473,7 +474,8 @@ def _nystrom_regression_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int)
     Z_UU = _select(Z_UUs, best)
     res = _select(results, best)
     eig = spectral.nystrom_extend(
-        anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True
+        anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True,
+        rcond=g.nystrom_rcond,
     )
     scfg, seig, (Ys,) = _solve_cast(cfg, eig, Y)
     out = _gpr_tail(seig, Ys, m, n, K, scfg, res.t, res.noise)
@@ -501,7 +503,8 @@ def _nystrom_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, m
     def per_a2(a2):
         anchor, Z_UU = spectral.nystrom_anchor_eigs(basis, a2, K)
         eig_train = spectral.nystrom_extend(
-            anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False
+            anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False,
+            rcond=g.nystrom_rcond,
         )
         scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig_train, Y, N)
         res = _train_gpc(seig, Ys, Ns, idx, K, scfg)
@@ -513,7 +516,8 @@ def _nystrom_logit_impl(key, X_all, Y, N, a2s, cfg: FitConfig, m: int, n: int, m
     Z_UU = _select(Z_UUs, best)
     res = _select(results, best)
     eig = spectral.nystrom_extend(
-        anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True
+        anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True,
+        rcond=g.nystrom_rcond,
     )
     scfg, seig, (Ys, Ns) = _solve_cast(cfg, eig, Y, N)
     out = _gpc_tail(k_pg, seig, Ys, Ns, m, n, K, scfg, res.x, max_count)

@@ -164,7 +164,8 @@ def _nystrom_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: in
     def per_a2(a2):
         anchor, Z_UU = spectral.nystrom_anchor_eigs(basis, a2, K)
         eig_train = spectral.nystrom_extend(
-            anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False
+            anchor, Z_UU, basis.dist_allU[:m], a2, basis.dist_mean, False,
+            rcond=g.nystrom_rcond,
         )
         scfg, seig, (aug_s,) = _solve_cast(cfg, eig_train, aug_y)
         res = _train_mult(seig, aug_s, idx, K, scfg)
@@ -176,7 +177,8 @@ def _nystrom_mult_impl(key, X_all, Y, a2s, cfg: FitConfig, m: int, n: int, J: in
     Z_UU = _select(Z_UUs, best)
     res = _select(results, best)
     eig = spectral.nystrom_extend(
-        anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True
+        anchor, Z_UU, basis.dist_allU, a2s[best], basis.dist_mean, True,
+        rcond=g.nystrom_rcond,
     )
     scfg, seig, (aug_s,) = _solve_cast(cfg, eig, aug_y)
     label_pred, probs = _predict_mult(k_pg, seig, aug_s, res.x, idx, jnp.arange(n), K, scfg)

@@ -139,6 +139,7 @@ def windowed_warmup(
     n_warmup: int,
     target_accept: float,
     dtype,
+    inv_mass0: jnp.ndarray | None = None,
 ):
     """Stan-style windowed warmup for one chain.
 
@@ -159,9 +160,18 @@ def windowed_warmup(
     form through the Gaussian energy-error model  accept = 2Φ(−√(ΔH/2)),
     ΔH ∝ ε⁴  (Neal 2011 §5.2): ε* = ε·√(Φ⁻¹(a*/2)/Φ⁻¹(â/2)).  On the
     32-d correlated-Gaussian testbed this lands realized accept within ±0.03
-    of target.  Returns (state, step, inv_mass)."""
+    of target.  Returns (state, step, inv_mass).
+
+    ``inv_mass0`` seeds the diagonal inverse mass (default isotropic).  For
+    posteriors with analytically-known anisotropy — e.g. whitened spectral
+    GPs whose per-eigenvalue feature scales span orders of magnitude (the
+    Nyström extension's full-[0,1] spectrum) — seeding with the approximate
+    posterior variances lets the short slow windows *refine* the metric
+    instead of having to discover a 1e2-condition scaling from ones."""
     dim = state.x.shape[0]
-    inv_mass = jnp.ones((dim,), dtype)
+    inv_mass = (
+        jnp.ones((dim,), dtype) if inv_mass0 is None else inv_mass0.astype(dtype)
+    )
     k_init, k_seg = jax.random.split(key)
     da = da_init(_find_reasonable_step(logprob, state, inv_mass, k_init, dtype))
     calib = min(32, max(n_warmup // 8, 1))
@@ -246,12 +256,14 @@ def run_hmc(
     n_leapfrog: int = 16,
     target_accept: float = 0.8,
     jitter_steps: bool = True,
+    inv_mass0: jnp.ndarray | None = None,
 ) -> HmcRun:
     """Adaptive HMC for a batch of chains: x0 has shape (n_chains, dim).
 
     Everything vmaps over the chain axis; warmup adapts step size per chain
     (dual averaging) and a shared-shape diagonal inverse mass from the second
-    half of warmup draws.
+    half of warmup draws.  ``inv_mass0`` (dim,) seeds the warmup metric (see
+    :func:`windowed_warmup`).
     """
     n_chains, dim = x0.shape
     dtype = x0.dtype
@@ -261,7 +273,7 @@ def run_hmc(
         k_warm, k_main = jax.random.split(key)
         kernel = lambda k, st, step, im: hmc_kernel(logprob, k, st, step, im, n_leapfrog)
         state, step, inv_mass = windowed_warmup(
-            kernel, logprob, k_warm, state, n_warmup, target_accept, dtype
+            kernel, logprob, k_warm, state, n_warmup, target_accept, dtype, inv_mass0
         )
 
         def main_body(carry, kk):

@@ -307,8 +307,12 @@ def run_nuts(
     n_samples: int = 1000,
     max_depth: int = 8,
     target_accept: float = 0.8,
+    inv_mass0: jnp.ndarray | None = None,
 ) -> NutsRun:
-    """Adaptive NUTS for a batch of chains (x0: (n_chains, dim))."""
+    """Adaptive NUTS for a batch of chains (x0: (n_chains, dim)).
+
+    ``inv_mass0`` (dim,) seeds the warmup metric — essential for posteriors
+    with analytically-known anisotropy (see hmc.windowed_warmup)."""
     n_chains, dim = x0.shape
     dtype = x0.dtype
 
@@ -317,7 +321,7 @@ def run_nuts(
         k_warm, k_main = jax.random.split(key)
         kernel = lambda k, st, step, im: nuts_kernel(logprob, k, st, step, im, max_depth)
         state, step, inv_mass = windowed_warmup(
-            kernel, logprob, k_warm, state, n_warmup, target_accept, dtype
+            kernel, logprob, k_warm, state, n_warmup, target_accept, dtype, inv_mass0
         )
 
         def main_body(state, k):

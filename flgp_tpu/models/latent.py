@@ -39,6 +39,29 @@ def make_whitened(eigenpair: EigenPair, idx: jnp.ndarray, K: int, sigma: float) 
     )
 
 
+def whitened_inv_mass0(
+    gp: WhitenedGP, t0: float, obs_curvature: float, n_hyper: int
+) -> jnp.ndarray:
+    """Analytic warmup-metric seed for HMC/NUTS over a whitened GP posterior.
+
+    Approximate per-coordinate posterior variances under a Gaussian/Laplace
+    likelihood model: Var[u_k | Y] ≈ 1/(1 + c̄·‖Φ_k‖²) with
+    Φ_k = V_k·exp(−t0·λ_k/2) the feature column at a representative diffusion
+    time t0 and c̄ the average observation curvature (¼ for the logit link,
+    1/noise_var for Gaussian).  Hyperparameter coordinates get unit mass.
+
+    Why this exists: methods whose spectrum spans the full [0, 1] — the
+    Nyström extension (fit/spectral.py:104-148, reference
+    src/Fit.cpp:284-291) — produce whitened feature scales spanning ~175×
+    at t≈10 (measured; LAE/SE span ~2×), i.e. a ~1e4-condition posterior
+    that a ones-seeded diagonal adaptation cannot recover inside a short
+    warmup.  Seeding with these variances restores Nyström NUTS mixing to
+    LAE/SE levels."""
+    colsq = jnp.sum(gp.V * gp.V, axis=0) * jnp.exp(-t0 * gp.lam)
+    var = 1.0 / (1.0 + obs_curvature * colsq)
+    return jnp.concatenate([var, jnp.ones((n_hyper,), var.dtype)])
+
+
 def latent_f(gp: WhitenedGP, u: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """f = V·diag(exp(−t·lam/2))·u (marginal variance matches the heat kernel
     up to the σ ridge, src/Spectrum.cpp:83-94)."""

@@ -73,6 +73,50 @@ class TestRegression:
         )
         assert _rmse(res.y_test, spiral_data.y_test) < 2.5
 
+    def test_nystrom_rcond_spiral(self, spiral_data):
+        """The pinv-style rcond clamp on the Nyström extension (the fix for
+        the round-3 sampling pathology) must not hurt prediction: it only
+        rescales columns whose anchor eigenvalue is below rcond*max|lambda|,
+        where the raw 1/lambda was amplifying noise."""
+        cfg = FitConfig(
+            graph=GraphConfig(s=120, r=3, K=40, nystrom_rcond=1e-3),
+            train=CFG_TRAIN, sigma=1e-5, dtype=jnp.float64,
+        )
+        res = flgp_tpu.fit_nystrom_regression_gp(
+            KEY, spiral_data.x_train, spiral_data.y_train, spiral_data.x_test, cfg
+        )
+        assert _rmse(res.y_test, spiral_data.y_test) < 2.5
+
+    def test_nystrom_rcond_preserves_strong_columns(self):
+        """rcond only touches near-null columns: for |lambda_k| >=
+        rcond*max the extension is bit-identical to the reference formula
+        (src/Fit.cpp:284-291)."""
+        from flgp_tpu.fit.spectral import (
+            nystrom_anchor_eigs, nystrom_extend, nystrom_setup,
+        )
+
+        data = spiral(n=400, m_train=100, seed=3)
+        X_all = jnp.concatenate(
+            [jnp.asarray(data.x_train, jnp.float64), jnp.asarray(data.x_test, jnp.float64)]
+        )
+        g = GraphConfig(s=80, r=3, K=60)
+        basis = nystrom_setup(KEY, X_all, g)
+        anchor, Z_UU = nystrom_anchor_eigs(basis, jnp.float64(1.0), 60)
+        raw = nystrom_extend(anchor, Z_UU, basis.dist_allU, jnp.float64(1.0), basis.dist_mean, True)
+        clamped = nystrom_extend(
+            anchor, Z_UU, basis.dist_allU, jnp.float64(1.0), basis.dist_mean, True, rcond=1e-3
+        )
+        absv = np.abs(np.asarray(anchor.values))
+        strong = absv >= 1e-3 * absv.max()
+        assert strong.any() and not strong.all()  # the clamp must actually engage
+        np.testing.assert_array_equal(
+            np.asarray(raw.vectors)[:, strong], np.asarray(clamped.vectors)[:, strong]
+        )
+        weak = ~strong
+        cn_raw = np.linalg.norm(np.asarray(raw.vectors)[:, weak], axis=0)
+        cn_cl = np.linalg.norm(np.asarray(clamped.vectors)[:, weak], axis=0)
+        assert (cn_cl <= cn_raw + 1e-12).all()
+
     def test_gl_spiral_small(self):
         data = spiral(n=300, m_train=100, seed=1234)
         cfg = FitConfig(graph=GraphConfig(K=40), train=CFG_TRAIN, sigma=1e-5, dtype=jnp.float64)
