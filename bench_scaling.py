@@ -1,11 +1,22 @@
-"""Chain-sharded sampling scaling probe (BASELINE config-5 proxy).
+"""Multi-device scaling probes (BASELINE config-5 proxy).
 
 Real multi-chip hardware is unavailable in this environment (one v5e chip via
-a tunnel), so this measures the *sharded code path* on a virtual 8-device CPU
-mesh: the same `shard_map` program that would ride ICI on a pod slice.
-Chains are embarrassingly parallel (zero collectives in the hot loop —
-parallel/mcmc.py), so on real chips the speedup is bounded only by dispatch;
-here it is bounded by the host's physical cores, which we report alongside.
+a tunnel), so these measure the *sharded code paths* on a virtual CPU mesh —
+the same `shard_map` programs that would ride ICI on a pod slice.  The host
+has 2 physical cores, so the honest speedup ceiling for a compute-bound probe
+is 2.0: both probes therefore compare 1 vs 2 virtual devices and report
+efficiency against that ceiling (an 8-device point rides along for the curve,
+bounded by the same 2 cores).
+
+Probes:
+  1. chain-sharded HMC (zero collectives in the hot loop, parallel/mcmc.py)
+  2. n-sharded spectral stage (2 psums total, parallel/spectral.py)
+
+Plus a communicated-bytes account for the spectral stage's collectives at the
+bench's n=1e6 config — counted from the psum operand shapes (the reduction
+payload each device contributes per build): the per-device communication is
+O(s²), INDEPENDENT of n, which is the whole DCN story for scaling the n axis
+across hosts.
 
 Run by bench.py in a subprocess with JAX_PLATFORMS=cpu and
 --xla_force_host_platform_device_count=8.  Prints one JSON line.
@@ -27,12 +38,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 
+from flgp_tpu.config import GraphConfig, KernelType, LaplacianType
 from flgp_tpu.models.latent import GpcLogPost, WhitenedGP
 from flgp_tpu.parallel.mcmc import sharded_hmc_fn
-from flgp_tpu.parallel.mesh import make_mesh
+from flgp_tpu.parallel.mesh import make_mesh, replicate, shard_rows
+from flgp_tpu.parallel.spectral import sharded_spectrum_fn
 
 
-def main():
+def hmc_probe(out):
     K, m = 32, 64
     n_chains, n_samples, n_warmup = 64, 256, 64
     key = jax.random.PRNGKey(0)
@@ -43,8 +56,7 @@ def main():
     gp = WhitenedGP(V, lam, 1e-3)
     logpost = GpcLogPost(gp, Y, jnp.ones((m,), jnp.float32), 1e-2, 10.0, 2.0)
     x0 = 0.1 * jax.random.normal(kx, (n_chains, K + 1), jnp.float32)
-    # sharded_hmc_fn consumes the natural (C, 2) split: one raw key pair per
-    # chain; each shard seeds its local run_hmc batch from its first pair
+    # natural (C, 2) split: one raw key pair per chain
     keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
 
     def rate_at(n_dev: int) -> float:
@@ -59,15 +71,94 @@ def main():
         return n_chains * n_samples / dt
 
     r1 = rate_at(1)
+    r2 = rate_at(2)
     r8 = rate_at(8)
-    cores = os.cpu_count() or 1
-    print(json.dumps({
-        "scaling_samples_per_s_1dev": round(r1, 1),
-        "scaling_samples_per_s_8dev": round(r8, 1),
-        "scaling_speedup_8dev": round(r8 / r1, 3),
-        "scaling_host_cores": cores,
-        "scaling_efficiency_vs_host_ceiling": round((r8 / r1) / min(8, cores), 3),
-    }))
+    out["scaling_hmc_samples_per_s_1dev"] = round(r1, 1)
+    out["scaling_hmc_samples_per_s_2dev"] = round(r2, 1)
+    out["scaling_hmc_samples_per_s_8dev"] = round(r8, 1)
+    out["scaling_hmc_speedup_2dev"] = round(r2 / r1, 3)
+    out["scaling_hmc_efficiency_2dev"] = round((r2 / r1) / 2.0, 3)
+    out["scaling_hmc_note"] = (
+        "1-dev baseline already multi-threads across both host cores via XLA "
+        "intra-op parallelism (rates saturate ~2dev == 8dev), so the 2.0 "
+        "ceiling overstates the available headroom for this probe; chains "
+        "shard with zero collectives, so on real chips the bound is dispatch"
+    )
+
+
+def spectral_probe(out):
+    n, d = 131_072, 3
+    g = GraphConfig(s=256, r=3, K=64, kernel=KernelType.LAE,
+                    gl=LaplacianType.NORMALIZED)
+    X = jax.random.normal(jax.random.PRNGKey(5), (n, d), jnp.float32)
+    anchors_h = X[:: n // g.s][: g.s]
+    counts_h = jnp.ones((g.s,), jnp.float32)
+
+    def rate_at(n_dev: int) -> float:
+        mesh = make_mesh(n_dev, axis_names=("data",))
+        fn = jax.jit(sharded_spectrum_fn(mesh, g))
+        X_sh = shard_rows(mesh, X)
+        anchors = replicate(mesh, anchors_h)
+        counts = replicate(mesh, counts_h)
+        vals, _ = fn(X_sh, anchors, counts)
+        vals.block_until_ready()
+        t0 = time.perf_counter()
+        vals, _ = fn(X_sh, anchors, counts)
+        vals.block_until_ready()
+        return time.perf_counter() - t0
+
+    d1 = rate_at(1)
+    d2 = rate_at(2)
+    d8 = rate_at(8)
+    out["scaling_spectral_s_1dev"] = round(d1, 4)
+    out["scaling_spectral_s_2dev"] = round(d2, 4)
+    out["scaling_spectral_s_8dev"] = round(d8, 4)
+    out["scaling_spectral_speedup_2dev"] = round(d1 / d2, 3)
+    out["scaling_spectral_efficiency_2dev"] = round((d1 / d2) / 2.0, 3)
+    # headline scaling number for the driver: the collective-bearing path
+    # measured against a real ceiling
+    out["scaling_efficiency"] = out["scaling_spectral_efficiency_2dev"]
+
+
+def psum_bytes_account(out):
+    """Per-device collective payload of the sharded spectral build at the
+    bench's n=1e6 config (s=1024, K=128, f32, NORMALIZED Laplacian) —
+    counted from the psum operand shapes in
+    parallel/spectral.py:_spectrum_from_local_ell:
+
+        colsum psum (norm step)    (s,)    once
+        colsum psum (A scaling)    (s,)    once
+        Gram psum                  (s, s)  once
+        n_total psum               ()      once
+
+    Each device CONTRIBUTES this many bytes per reduction regardless of n —
+    the communicated volume is O(s²) while local work is O(n·s·d/D), so the
+    compute:communication ratio grows linearly in n.  (A ring all-reduce
+    moves ~2× this on the wire per device; we report the operand payload.)
+    """
+    s, K = 1024, 128
+    fbytes = 4
+    payload = fbytes * (s + s + s * s + 1)
+    out["spectral_psum_payload_bytes_per_device"] = payload
+    out["spectral_psum_payload_mb_per_device"] = round(payload / 1e6, 3)
+    n = 1_000_000
+    local_flops_1e6_2dev = 2 * (n // 2) * s * 3
+    out["spectral_compute_to_comm_flops_per_byte_n1e6_2dev"] = round(
+        local_flops_1e6_2dev / payload, 1
+    )
+
+
+def main():
+    out = {"scaling_host_cores": os.cpu_count() or 1,
+           "scaling_note": (
+               "virtual CPU mesh on a 2-core host; ceiling for the 2-device "
+               "probes is 2.0 (real multi-chip unavailable here); the same "
+               "shard_map programs ride ICI on a pod slice"
+           )}
+    hmc_probe(out)
+    spectral_probe(out)
+    psum_bytes_account(out)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

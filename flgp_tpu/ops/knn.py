@@ -42,6 +42,8 @@ def knn(X: jnp.ndarray, U: jnp.ndarray, r: int, block: int = 8192) -> KnnResult:
     if (
         _HAVE_PALLAS
         and X.dtype == jnp.float32
+        and not jax.config.jax_enable_x64  # Mosaic rejects the i64 index
+                                           # maps/counters x64 mode produces
         and s <= 4096              # (512, s) distance tile + (s, d) anchors in VMEM
         and d <= 256
         and r <= 16

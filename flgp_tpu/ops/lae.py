@@ -58,7 +58,10 @@ def lae_weights(
 
     from .pallas_kernels import _HAVE_PALLAS, fused_lae
 
-    if not _HAVE_PALLAS or X.dtype != jnp.float32:
+    # x64 mode breaks Mosaic lowering (index maps and loop counters become
+    # i64, which the TPU compiler rejects) — the f64 parity path takes the
+    # XLA branch, where the fused kernel's speed is irrelevant anyway
+    if not _HAVE_PALLAS or X.dtype != jnp.float32 or jax.config.jax_enable_x64:
         return lae_weights_xla(X, anchors, knn_idx, iters)
     return jax.lax.platform_dependent(
         X, anchors, knn_idx,

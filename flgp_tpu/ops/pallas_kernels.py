@@ -62,12 +62,17 @@ def _knn_kernel(x_ref, u_ref, u2_ref, idx_ref, d_ref, *, r: int):
     col_ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
 
     taken = jnp.zeros_like(d, dtype=jnp.bool_)
+    # explicit dtypes on the python scalars: under jax_enable_x64 the weak
+    # int64/float64 promotion of bare `s`/`inf` recurses inside pallas
+    # tracing (RecursionError) — int32/f32 are what the kernel means anyway
+    s_i32 = jnp.int32(s)
+    inf_f = jnp.asarray(jnp.inf, d.dtype)
     for k in range(r):
-        masked = jnp.where(taken, jnp.inf, d)
+        masked = jnp.where(taken, inf_f, d)
         dmin = jnp.min(masked, axis=1, keepdims=True)
         # first column achieving the min
         is_min = masked == dmin
-        first = jnp.min(jnp.where(is_min, col_ids, s), axis=1, keepdims=True)
+        first = jnp.min(jnp.where(is_min, col_ids, s_i32), axis=1, keepdims=True)
         idx_ref[:, k] = first[:, 0]
         d_ref[:, k] = dmin[:, 0]
         taken = jnp.logical_or(taken, col_ids == first)
