@@ -437,7 +437,11 @@ def bench_multiclass_smc(report: MetricsReport):
     out["mult_smc_t_sd"] = float(jnp.mean(post.t_sd))
 
     # statistical validation: the target is 1-D per class, so trapezoid
-    # quadrature over log t is exact ground truth for the SMC moments
+    # quadrature over log t is exact ground truth for the SMC moments.
+    # NOTE the bench SMC runs the watchdog-capped 32-particle/3-mutation
+    # budget, so ~1.5-sd worst-class error is expected here; the VALIDATED
+    # budget (64/5 → ≤1 sd per class, 0.28 sd at 128/8) is gated in
+    # tests/test_end_to_end.py::TestDigits::test_smc_t_posterior_matches_quadrature
     _mark("multiclass: t-posterior quadrature check")
     from flgp_tpu.inference.hyperparam import mult_t_quadrature
 
