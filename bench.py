@@ -200,7 +200,11 @@ def bench_sampling(report: MetricsReport, torus_eig):
     # raw leapfrog throughput (BASELINE north-star: "vectorized log-prob +
     # leapfrog throughput per chip").  One gradient per leapfrog step; each
     # whitened-GPC gradient is dominated by two (m, K) matvecs fwd + two in
-    # reverse ≈ 8·m·K flops.
+    # reverse ≈ 8·m·K flops.  Cross-check (sat_hmc_*_xla_grad_gflops): XLA's
+    # cost analysis counts ~4.6·m·K per gradient — the hand model is ~1.7×
+    # high because XLA counts each fused multiply-add once and shares the
+    # forward V·(scale·u) product with the VJP; both numbers ride in the
+    # JSON, the XLA count is the authoritative one.
     steps = n_chains * n_fixed * n_leap
     out["hmc_leapfrog_steps_per_sec"] = steps / hmc_fs
     out["hmc_logprob_grad_est_gflops"] = steps * 8.0 * m * K / hmc_fs / 1e9
