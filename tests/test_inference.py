@@ -375,3 +375,39 @@ class TestPosteriorMomentCrossValidation:
         assert np.all(np.abs(la_mean - pg_mean) < 0.30 + 6.0 * pg_mc)
         corr = np.corrcoef(np.asarray(la_mean), pg_mean)[0, 1]
         assert corr > 0.98
+
+
+class TestInvMassSeed:
+    """inv_mass0 warmup-metric seeding (the Nyström-pathology mitigation
+    layer under the rcond fix): a strongly anisotropic Gaussian must reach
+    nominal moments from a correctly seeded metric, and the analytic
+    whitened-GP preconditioner must order coordinates by feature scale."""
+
+    def test_hmc_anisotropic_with_seed(self):
+        scales = jnp.asarray([100.0, 10.0, 1.0, 0.1, 0.01])
+
+        def logprob(x):
+            return -0.5 * jnp.sum((x / scales) ** 2)
+
+        run = run_hmc(
+            jax.random.PRNGKey(3), logprob, jnp.zeros((4, 5)),
+            n_warmup=400, n_samples=600, n_leapfrog=8,
+            inv_mass0=scales**2,
+        )
+        draws = np.asarray(run.samples).reshape(-1, 5)
+        np.testing.assert_allclose(draws.std(0), np.asarray(scales), rtol=0.35)
+
+    def test_whitened_inv_mass0_ordering(self):
+        from flgp_tpu.models.latent import WhitenedGP, whitened_inv_mass0
+
+        rng = np.random.default_rng(0)
+        V = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+        # eigenvalue spread: lam 0 (strong feature) .. 1 (heat-damped away)
+        lam = jnp.linspace(0.0, 1.0, 8, dtype=jnp.float32)
+        gp = WhitenedGP(V, lam, 1e-3)
+        im0 = np.asarray(whitened_inv_mass0(gp, t0=10.0, obs_curvature=0.25, n_hyper=2))
+        assert im0.shape == (10,)
+        assert np.all(im0[:8] <= 1.0) and np.all(im0 > 0.0)
+        # heat-damped columns carry less likelihood curvature -> larger var
+        assert im0[7] > im0[0]
+        np.testing.assert_allclose(im0[8:], 1.0)
