@@ -333,6 +333,49 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
     out["gpc_ess_per_sec_per_chip_saturated"] = best_ess_rate
     out["gpc_saturation_K"] = best_cfg[0]
     out["gpc_saturation_chains"] = best_cfg[1]
+
+    # NUTS-fixed sweep at K=100.  Batched NUTS terminates trees in lockstep
+    # (a vmapped while_loop runs every chain to the slowest chain's depth),
+    # so unlike HMC its ESS/sec DEGRADES past ~1024 chains (measured: 84k at
+    # 1024, 31k at 4096) — wide-batch sampling wants fixed-trajectory HMC.
+    # Capped at 4096: a 16384-chain NUTS program crashed the TPU worker.
+    from flgp_tpu.inference.nuts import run_nuts, run_nuts_fixed
+
+    K = 100
+    gp = make_whitened(torus_eig, jnp.arange(m), K, 1e-3)
+    logpost = GpcLogPost(gp, Y, N1, 1e-2, 10.0, 2.0)
+    _mark("saturation: NUTS adapt")
+    x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(11), (16, K + 1), jnp.float32)
+    nadapt = jax.jit(lambda k, x: run_nuts(k, logpost, x, n_warmup=256, n_samples=64, max_depth=8))
+    nrun = nadapt(jax.random.PRNGKey(12), x0)
+    _fetch(nrun.samples)
+    best_nuts = 0.0
+    for C in (256, 1024, 4096):
+        reps = C // 16
+        stepC = jnp.tile(nrun.step, reps)
+        imC = jnp.tile(nrun.inv_mass, (reps, 1))
+        x0C = jnp.tile(nrun.samples[-1], (reps, 1))
+        n_samp = 256
+        _mark(f"saturation: NUTS C={C}")
+        fit = jax.jit(
+            lambda k, x, s=stepC, im=imC: run_nuts_fixed(
+                k, logpost, x, s, im, n_samples=n_samp, max_depth=8
+            )
+        )
+        compiled = fit.lower(jax.random.PRNGKey(13), x0C).compile()
+        _fetch(compiled(jax.random.PRNGKey(13), x0C).samples[:1, :1])
+        with report.stage(f"sat_nuts_K{K}_C{C}") as slot:
+            t0 = time.perf_counter()
+            run = compiled(jax.random.PRNGKey(14), x0C)
+            _fetch(run.samples[-1:, -1:])
+            dt = time.perf_counter() - t0
+            slot["wall"] = dt
+        sub = min(C, 256)
+        es = ess(np.asarray(run.samples[:, :sub], np.float64))
+        ess_total = float(np.min(es)) * (C / sub)
+        out[f"sat_nuts_K{K}_C{C}_min_ess_per_sec"] = ess_total / dt
+        best_nuts = max(best_nuts, ess_total / dt)
+    out["gpc_nuts_ess_per_sec_per_chip_saturated"] = best_nuts
     return out
 
 
