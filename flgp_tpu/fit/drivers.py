@@ -106,21 +106,29 @@ def _train_gpr(eigenpair: EigenPair, Y, idx, K: int, cfg: FitConfig) -> GprOptRe
 
 def _train_gpc(eigenpair: EigenPair, Y, N, idx, K: int, cfg: FitConfig):
     tc = cfg.train
-    posterior = tc.approach == Approach.POSTERIOR
 
-    def fn(t):
-        if posterior:
+    def obj_at(t, max_iter):
+        if tc.approach == Approach.POSTERIOR:
             return gpc_mod.gpc_nlp_objective(
                 eigenpair, Y, N, idx, K, t, cfg.sigma,
                 p=tc.prior_p_gpc, q=tc.prior_q, tau=tc.prior_tau,
-                tol=tc.newton_tol, max_iter=tc.newton_max_iter,
+                tol=tc.newton_tol, max_iter=max_iter,
             )
         return gpc_mod.gpc_nmll_objective(
             eigenpair, Y, N, idx, K, t, cfg.sigma,
-            tol=tc.newton_tol, max_iter=tc.newton_max_iter,
+            tol=tc.newton_tol, max_iter=max_iter,
         )
 
-    return minimize_1d_log(fn, lo=tc.t_lb, hi=tc.t_ub, n_grid=tc.grid_size, dtype=cfg.dtype)
+    # coarse scan lanes at extreme t run Newton to the full iteration cap
+    # and the batched while_loop serializes to the WORST lane — a reduced
+    # budget ranks grid cells just as well (the landscape separates cells by
+    # orders of magnitude); refinement keeps the reference's full budget
+    coarse_cap = min(30, tc.newton_max_iter)
+    return minimize_1d_log(
+        lambda t: obj_at(t, tc.newton_max_iter),
+        lo=tc.t_lb, hi=tc.t_ub, n_grid=tc.grid_size, dtype=cfg.dtype,
+        coarse_fn=lambda t: obj_at(t, coarse_cap),
+    )
 
 
 def _gpr_tail(eigenpair: EigenPair, Y, m: int, n: int, K: int, cfg: FitConfig, t, noise):

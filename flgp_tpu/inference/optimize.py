@@ -42,6 +42,7 @@ def minimize_1d_log(
     refine_width: int = 32,
     dtype=jnp.float32,
     max_expand: int = 4,
+    coarse_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> Scalar1DResult:
     """Minimize fn over [lo, hi]: log-spaced grid + vectorized refinement,
     UNBOUNDED ABOVE like the reference's COBYLA (ub=∞,
@@ -59,14 +60,23 @@ def minimize_1d_log(
     cell, tighter than the reference's COBYLA xtol 1e-4 (src/train.cpp:52-58)
     AND tighter than the previous 8×8 schedule at half its sequential depth
     (measured on the torus SE grid: 3.97 s → ~2.6 s for the 10-bandwidth
-    trainer with a bit-identical selected optimum)."""
+    trainer with a bit-identical selected optimum).
+
+    ``coarse_fn`` (default: ``fn``) evaluates the coarse scan and window
+    expansions; pass a cheaper surrogate when the exact objective has inner
+    solves whose batched while_loop runs to the WORST lane's trip count —
+    e.g. the GPC Laplace-Newton objective, where extreme-t grid lanes hit
+    the 100-iteration cap and serialize ~500 Newton steps just to rank
+    cells that lose by whole orders of magnitude.  Refinement and the
+    returned objective always use the exact ``fn``."""
     lo_l = jnp.log(jnp.asarray(lo, dtype))
     hi_l = jnp.log(jnp.asarray(hi, dtype))
     g = lambda u: fn(jnp.exp(u))
+    g_coarse = g if coarse_fn is None else (lambda u: coarse_fn(jnp.exp(u)))
 
     def scan_window(a_l, b_l):
         us = jnp.linspace(a_l, b_l, n_grid)
-        fs = jax.vmap(g)(us)
+        fs = jax.vmap(g_coarse)(us)
         fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
         return us, fs, jnp.argmin(fs)
 
@@ -102,8 +112,12 @@ def minimize_1d_log(
         b2 = jnp.clip(uu[j] + h, wa, wb)
         return (a2, b2, best_u, best_f), None
 
+    # with a surrogate coarse objective, its values must not seed the
+    # best-so-far tracker (a non-converged inner solve can err in either
+    # direction); the first exact refine round repopulates it
+    f_init = fs[i] if coarse_fn is None else jnp.asarray(jnp.inf, dtype)
     (a, b, best_u, best_f), _ = jax.lax.scan(
-        round_body, (a, b, us[i], fs[i]), None, length=refine_rounds
+        round_body, (a, b, us[i], f_init), None, length=refine_rounds
     )
     return Scalar1DResult(jnp.exp(best_u), best_f, b - a, n_exp)
 
