@@ -711,6 +711,64 @@ def bench_spectral_1e6(report: MetricsReport):
     return out
 
 
+def bench_scale_accuracy(report: MetricsReport):
+    """End-to-end binary GPC at n=1e6 WITH measured accuracy — not just the
+    spectral-stage timing: six-ring torus at 1e6 points, 1000 labels,
+    minibatch-k-means anchors, LAE graph, empirical-Bayes t, and the O(n·K)
+    low-rank predict tail at every point (fit/streaming._gpc_lowrank_tail —
+    the dense (n, m) cross-covariance of src/Predict.cpp:11-26 never
+    exists).  The reference cannot run this size at all (dense R vectors +
+    one-thread kmeans callback)."""
+    import dataclasses
+
+    from flgp_tpu.config import Subsample
+    from flgp_tpu.datasets import torus_rings
+    from flgp_tpu.fit.drivers import _train_gpc
+    from flgp_tpu.fit.spectral import build_spectrum
+    from flgp_tpu.fit.streaming import _gpc_lowrank_tail
+
+    n1, m = 1_000_000, 1000
+    ds = torus_rings(n=n1, m_train=m, seed=3)
+    X_all = jnp.concatenate(
+        [jnp.asarray(ds.x_train, jnp.float32), jnp.asarray(ds.x_test, jnp.float32)]
+    )
+    Y = jnp.asarray(ds.y_train, jnp.float32)
+    cfg = FitConfig(
+        graph=GraphConfig(s=1024, r=3, K=128, subsample=Subsample.MINIBATCH_KMEANS),
+        sigma=1e-3, n_gibbs=50, gibbs_avg_sweeps=25,
+    )
+    g = cfg.graph
+    K = 128
+    N1 = jnp.ones((m,), jnp.float32)
+    out = {}
+
+    @jax.jit
+    def full_fit(key):
+        k_spec, k_pg = jax.random.split(key)
+        eig, _ = build_spectrum(k_spec, X_all, g)
+        res = _train_gpc(eig, Y, N1, jnp.arange(m), K, cfg)
+        labels, probs, mean, var = _gpc_lowrank_tail(
+            k_pg, eig, Y, N1, jnp.arange(m), K, cfg, res.x, 1
+        )
+        return labels, res.x
+
+    _mark("scale_accuracy: n=1e6 GPC fit (compile)")
+    _fetch(full_fit(jax.random.PRNGKey(30))[0])
+    _mark("scale_accuracy: timing")
+    with report.stage("gpc_fit_n1e6"):
+        t0 = time.perf_counter()
+        labels, t_opt = full_fit(jax.random.PRNGKey(31))
+        _fetch(labels)
+        dt = time.perf_counter() - t0
+    out["gpc_fit_n1e6_s"] = dt
+    y_test = np.asarray(ds.y_test)
+    out["gpc_fit_n1e6_err"] = float(
+        np.mean(np.asarray(labels[m:]) != y_test)
+    )
+    out["gpc_fit_n1e6_t"] = float(t_opt)
+    return out
+
+
 def bench_spectral_1e7(report: MetricsReport):
     """n=1e7 graph+spectrum, single chip — feature-major layout.
 
@@ -892,6 +950,7 @@ def main():
     guarded("lobpcg_scale", bench_lobpcg_scale, report)
     guarded("pallas_kernels", bench_pallas_kernels, report)
     guarded("spectral_1e6", bench_spectral_1e6, report)
+    guarded("scale_accuracy", bench_scale_accuracy, report)
     # the n=1e7 stage runs LAST among on-chip stages: if it exhausts HBM it
     # can only lose its own number, not poison the backend for later stages
     # (round 3 first run: its OOM cascaded into lobpcg + pallas failures)
