@@ -766,6 +766,47 @@ def bench_scale_accuracy(report: MetricsReport):
         np.mean(np.asarray(labels[m:]) != y_test)
     )
     out["gpc_fit_n1e6_t"] = float(t_opt)
+
+    # ---- n=1e7: colmajor spectrum + the same low-rank tail --------------
+    # one warm dispatch only (key-varied), outputs deleted — the internal
+    # (n, K) eigenvector store is jit-temporary, but two LIVE label sets
+    # plus the store would crowd HBM
+    from flgp_tpu.ops.colmajor import heat_kernel_spectrum_colmajor
+
+    n7 = 10_000_000
+    ds7 = torus_rings(n=n7, m_train=m, seed=4)
+    Xt7 = jnp.asarray(
+        np.concatenate([ds7.x_train, ds7.x_test]).T.astype(np.float32)
+    )
+    Y7 = jnp.asarray(ds7.y_train, jnp.float32)
+
+    @jax.jit
+    def full_fit7(key):
+        k_anc, k_pg = jax.random.split(key)
+        anchors = Xt7[:, jax.random.randint(k_anc, (g.s,), 0, n7)].T
+        eig = heat_kernel_spectrum_colmajor(Xt7, anchors, g.r, K)
+        res = _train_gpc(eig, Y7, N1, jnp.arange(m), K, cfg)
+        labels, _, _, _ = _gpc_lowrank_tail(
+            k_pg, eig, Y7, N1, jnp.arange(m), K, cfg, res.x, 1
+        )
+        return labels, res.x
+
+    _mark("scale_accuracy: n=1e7 GPC fit (compile)")
+    lab_w, _ = full_fit7(jax.random.PRNGKey(40))
+    _fetch(lab_w)
+    err_cold = float(np.mean(np.asarray(lab_w[m:]) != np.asarray(ds7.y_test)))
+    jax.tree_util.tree_map(lambda a: a.delete(), lab_w)
+    _mark("scale_accuracy: n=1e7 timing")
+    with report.stage("gpc_fit_n1e7"):
+        t0 = time.perf_counter()
+        lab7, t7 = full_fit7(jax.random.PRNGKey(41))
+        _fetch(lab7)
+        out["gpc_fit_n1e7_s"] = time.perf_counter() - t0
+    out["gpc_fit_n1e7_err"] = float(
+        np.mean(np.asarray(lab7[m:]) != np.asarray(ds7.y_test))
+    )
+    out["gpc_fit_n1e7_err_cold_anchor_draw"] = err_cold
+    out["gpc_fit_n1e7_t"] = float(t7)
     return out
 
 
