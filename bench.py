@@ -293,46 +293,58 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
         _fetch(arun.samples)
 
         for C in (16, 64, 256, 1024, 4096, 16384):
-            reps = C // 16
-            stepC = jnp.tile(arun.step, reps)
-            imC = jnp.tile(arun.inv_mass, (reps, 1))
-            x0C = jnp.tile(arun.samples[-1], (reps, 1))
-            n_samp = 512 if C <= 256 else 256
-            _mark(f"saturation: K={K} C={C}")
-            fit = jax.jit(
-                lambda k, x, s=stepC, im=imC, ns=n_samp: run_hmc_fixed(
-                    k, logpost, x, s, im, n_samples=ns, n_leapfrog=n_leap
-                )
-            )
-            lowered = fit.lower(jax.random.PRNGKey(3), x0C)
-            compiled = lowered.compile()
-            _fetch(compiled(jax.random.PRNGKey(3), x0C).samples[:1, :1])
-            with report.stage(f"sat_hmc_K{K}_C{C}") as slot:
-                t0 = time.perf_counter()
-                run = compiled(jax.random.PRNGKey(4), x0C)
-                _fetch(run.samples[-1:, -1:])
-                dt = time.perf_counter() - t0
-                slot["wall"] = dt
-            steps = C * n_samp * n_leap
-            sub = min(C, 256)
-            es = ess(np.asarray(run.samples[:, :sub], np.float64))
-            ess_total = float(np.min(es)) * (C / sub)
-            out[f"sat_hmc_K{K}_C{C}_leap_steps_per_sec"] = steps / dt
-            out[f"sat_hmc_K{K}_C{C}_min_ess_per_sec"] = ess_total / dt
+            # per-point guard + explicit output deletion: each sweep point
+            # makes 2 distinct dispatches whose outputs the remote backend
+            # pins (up to ~4.3 GB at K=256/C=16384) — without delete() the
+            # sweep accumulates toward OOM, and without the guard one late
+            # failure would discard every already-measured point
             try:
-                grad_fn = jax.jit(jax.vmap(jax.value_and_grad(logpost)))
-                ca = grad_fn.lower(x0C).compile().cost_analysis()
-                grad_flops = (ca if isinstance(ca, dict) else ca[0]).get("flops", 0.0)
-                out[f"sat_hmc_K{K}_C{C}_xla_grad_gflops"] = grad_flops * n_samp * n_leap / dt / 1e9
-            except Exception:  # noqa: BLE001 — cost model is best-effort
-                pass
-            if ess_total / dt > best_ess_rate:
-                best_ess_rate = ess_total / dt
-                best_cfg = (K, C)
+                reps = C // 16
+                stepC = jnp.tile(arun.step, reps)
+                imC = jnp.tile(arun.inv_mass, (reps, 1))
+                x0C = jnp.tile(arun.samples[-1], (reps, 1))
+                n_samp = 512 if C <= 256 else 256
+                _mark(f"saturation: K={K} C={C}")
+                fit = jax.jit(
+                    lambda k, x, s=stepC, im=imC, ns=n_samp: run_hmc_fixed(
+                        k, logpost, x, s, im, n_samples=ns, n_leapfrog=n_leap
+                    )
+                )
+                compiled = fit.lower(jax.random.PRNGKey(3), x0C).compile()
+                warm = compiled(jax.random.PRNGKey(3), x0C)
+                _fetch(warm.samples[:1, :1])
+                jax.tree_util.tree_map(lambda a: a.delete(), warm)
+                with report.stage(f"sat_hmc_K{K}_C{C}") as slot:
+                    t0 = time.perf_counter()
+                    run = compiled(jax.random.PRNGKey(4), x0C)
+                    _fetch(run.samples[-1:, -1:])
+                    dt = time.perf_counter() - t0
+                    slot["wall"] = dt
+                steps = C * n_samp * n_leap
+                sub = min(C, 256)
+                es = ess(np.asarray(run.samples[:, :sub], np.float64))
+                jax.tree_util.tree_map(lambda a: a.delete(), run)
+                ess_total = float(np.min(es)) * (C / sub)
+                out[f"sat_hmc_K{K}_C{C}_leap_steps_per_sec"] = steps / dt
+                out[f"sat_hmc_K{K}_C{C}_min_ess_per_sec"] = ess_total / dt
+                try:
+                    grad_fn = jax.jit(jax.vmap(jax.value_and_grad(logpost)))
+                    ca = grad_fn.lower(x0C).compile().cost_analysis()
+                    grad_flops = (ca if isinstance(ca, dict) else ca[0]).get("flops", 0.0)
+                    out[f"sat_hmc_K{K}_C{C}_xla_grad_gflops"] = grad_flops * n_samp * n_leap / dt / 1e9
+                except Exception:  # noqa: BLE001 — cost model is best-effort
+                    pass
+                if np.isfinite(ess_total) and ess_total / dt > best_ess_rate:
+                    best_ess_rate = ess_total / dt
+                    best_cfg = (K, C)
+            except Exception as e:  # noqa: BLE001 — keep earlier sweep points
+                _mark(f"saturation point K={K} C={C} FAILED: {type(e).__name__}: {e}")
+                out[f"sat_hmc_K{K}_C{C}_error"] = f"{type(e).__name__}: {e}"[:200]
 
     out["gpc_ess_per_sec_per_chip_saturated"] = best_ess_rate
-    out["gpc_saturation_K"] = best_cfg[0]
-    out["gpc_saturation_chains"] = best_cfg[1]
+    if best_cfg is not None:
+        out["gpc_saturation_K"] = best_cfg[0]
+        out["gpc_saturation_chains"] = best_cfg[1]
 
     # NUTS-fixed sweep at K=100.  Batched NUTS terminates trees in lockstep
     # (a vmapped while_loop runs every chain to the slowest chain's depth),
@@ -351,30 +363,38 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
     _fetch(nrun.samples)
     best_nuts = 0.0
     for C in (256, 1024, 4096):
-        reps = C // 16
-        stepC = jnp.tile(nrun.step, reps)
-        imC = jnp.tile(nrun.inv_mass, (reps, 1))
-        x0C = jnp.tile(nrun.samples[-1], (reps, 1))
-        n_samp = 256
-        _mark(f"saturation: NUTS C={C}")
-        fit = jax.jit(
-            lambda k, x, s=stepC, im=imC: run_nuts_fixed(
-                k, logpost, x, s, im, n_samples=n_samp, max_depth=8
+        try:
+            reps = C // 16
+            stepC = jnp.tile(nrun.step, reps)
+            imC = jnp.tile(nrun.inv_mass, (reps, 1))
+            x0C = jnp.tile(nrun.samples[-1], (reps, 1))
+            n_samp = 256
+            _mark(f"saturation: NUTS C={C}")
+            fit = jax.jit(
+                lambda k, x, s=stepC, im=imC: run_nuts_fixed(
+                    k, logpost, x, s, im, n_samples=n_samp, max_depth=8
+                )
             )
-        )
-        compiled = fit.lower(jax.random.PRNGKey(13), x0C).compile()
-        _fetch(compiled(jax.random.PRNGKey(13), x0C).samples[:1, :1])
-        with report.stage(f"sat_nuts_K{K}_C{C}") as slot:
-            t0 = time.perf_counter()
-            run = compiled(jax.random.PRNGKey(14), x0C)
-            _fetch(run.samples[-1:, -1:])
-            dt = time.perf_counter() - t0
-            slot["wall"] = dt
-        sub = min(C, 256)
-        es = ess(np.asarray(run.samples[:, :sub], np.float64))
-        ess_total = float(np.min(es)) * (C / sub)
-        out[f"sat_nuts_K{K}_C{C}_min_ess_per_sec"] = ess_total / dt
-        best_nuts = max(best_nuts, ess_total / dt)
+            compiled = fit.lower(jax.random.PRNGKey(13), x0C).compile()
+            warm = compiled(jax.random.PRNGKey(13), x0C)
+            _fetch(warm.samples[:1, :1])
+            jax.tree_util.tree_map(lambda a: a.delete(), warm)
+            with report.stage(f"sat_nuts_K{K}_C{C}") as slot:
+                t0 = time.perf_counter()
+                run = compiled(jax.random.PRNGKey(14), x0C)
+                _fetch(run.samples[-1:, -1:])
+                dt = time.perf_counter() - t0
+                slot["wall"] = dt
+            sub = min(C, 256)
+            es = ess(np.asarray(run.samples[:, :sub], np.float64))
+            jax.tree_util.tree_map(lambda a: a.delete(), run)
+            ess_total = float(np.min(es)) * (C / sub)
+            out[f"sat_nuts_K{K}_C{C}_min_ess_per_sec"] = ess_total / dt
+            if np.isfinite(ess_total):
+                best_nuts = max(best_nuts, ess_total / dt)
+        except Exception as e:  # noqa: BLE001 — keep earlier sweep points
+            _mark(f"saturation NUTS C={C} FAILED: {type(e).__name__}: {e}")
+            out[f"sat_nuts_K{K}_C{C}_error"] = f"{type(e).__name__}: {e}"[:200]
     out["gpc_nuts_ess_per_sec_per_chip_saturated"] = best_nuts
     return out
 
@@ -690,6 +710,17 @@ def bench_spectral_1e6(report: MetricsReport):
     t0 = time.perf_counter()
     _fetch(eigh_fn(G6)[0])
     out["spectral_n1e6_eigh_s"] = time.perf_counter() - t0
+    # the fused stage additionally contains the eigenvector back-extension
+    # U = A·V·Σ⁻¹ (the 512 MB (n, K) HBM write, ops/spectrum.py:70) which
+    # this three-way split does not time separately — surface the remainder
+    # explicitly instead of letting it read as dispatch overhead
+    out["spectral_n1e6_extension_plus_dispatch_s"] = max(
+        dt6
+        - out["spectral_n1e6_subsample_s"]
+        - out["spectral_n1e6_graph_s"]
+        - out["spectral_n1e6_eigh_s"],
+        0.0,
+    )
 
     # analytic cost model for the stage (dominant terms): distance matmul,
     # LAE G/b assembly + FISTA, ELL gram/matmat, eigh.  The stage is

@@ -122,7 +122,13 @@ def _train_gpc(eigenpair: EigenPair, Y, N, idx, K: int, cfg: FitConfig):
     # coarse scan lanes at extreme t run Newton to the full iteration cap
     # and the batched while_loop serializes to the WORST lane — a reduced
     # budget ranks grid cells just as well (the landscape separates cells by
-    # orders of magnitude); refinement keeps the reference's full budget
+    # orders of magnitude); refinement keeps the reference's full budget.
+    # Safety margin: refinement spans [cell-1, cell+1] of the surrogate
+    # argmin with the EXACT objective, so a surrogate misranking only
+    # matters if it is off by ≥2 coarse cells — requiring 30-iteration
+    # Newton error (quadratic convergence ⇒ ~machine-eps except at t values
+    # whose objective is orders of magnitude off-optimal) to exceed two
+    # whole inter-cell objective gaps
     coarse_cap = min(30, tc.newton_max_iter)
     return minimize_1d_log(
         lambda t: obj_at(t, tc.newton_max_iter),

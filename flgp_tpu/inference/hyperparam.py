@@ -133,13 +133,16 @@ def mult_t_quadrature(
     """Exact per-class t-posterior moments by 1-D quadrature over θ = log t.
 
     The SMC target factorizes over classes and each factor is 1-D, so a
-    trapezoid rule on a θ grid spanning ±``half_width_sds``·s0 around the
-    lognormal prior mean gives the posterior essentially exactly — the
-    ground truth :func:`mult_t_posterior` is validated against (and the
-    gold standard the reference's COBYLA point estimate has no analogue of,
-    src/train.cpp:38-71).  All grid×class marginal evaluations batch on
-    device: vmap over the grid, lax.map over classes (same memory reasoning
-    as mult_t_posterior).
+    uniform-grid Riemann sum over θ spanning ±``half_width_sds``·s0 around
+    the lognormal prior mean gives the posterior essentially exactly (the
+    endpoint weighting is immaterial: the integrand is ~exp(−12.5) of its
+    peak at ±5 sd) — the ground truth :func:`mult_t_posterior` is validated
+    against (and the gold standard the reference's COBYLA point estimate
+    has no analogue of, src/train.cpp:38-71).  All grid×class marginal
+    evaluations batch on device: vmap over the grid, lax.map over classes
+    (same memory reasoning as mult_t_posterior).  The prior/tilt terms are
+    the same ``_q0_logpdf`` / ``_penalty_tilt`` the SMC target uses — keep
+    it that way, the whole point is that both describe ONE posterior.
     """
     m, J = aug_y.shape
     dtype = eigenpair.vectors.dtype
@@ -159,8 +162,8 @@ def mult_t_quadrature(
             mll = gpc_marginal_log_likelihood_lowrank(
                 Phi, yj, Nv, sigma, newton_tol, newton_max_iter
             )
-            prior = -0.5 * ((theta - mu0) / s0) ** 2 - jnp.log(s0) - 0.5 * jnp.log(2.0 * jnp.pi)
-            return mll + t_log_prior_density(t, p, q, tau) + prior
+            prior = _q0_logpdf(theta[None], mu0, s0)
+            return mll + _penalty_tilt(t, p, q, tau) + prior
 
         return jax.vmap(at_theta)(thetas)
 

@@ -79,13 +79,25 @@ def gpc_marginal_log_likelihood(
 ) -> jnp.ndarray:
     """Laplace-approximate marginal log likelihood of the binomial-logit GP
     (src/train.cpp:716-760).  C already includes the σ ridge."""
+    return gpc_marginal_log_likelihood_status(C, Y, N, tol, max_iter)[0]
+
+
+def gpc_marginal_log_likelihood_status(
+    C: jnp.ndarray,
+    Y: jnp.ndarray,
+    N: jnp.ndarray,
+    tol: float = 1e-5,
+    max_iter: int = 100,
+):
+    """As :func:`gpc_marginal_log_likelihood`, additionally returning the
+    Newton status (iteration count, final Σ|Δf|) — single source of the
+    marginal formula for both the value and status paths."""
     st = _newton_mode(C, Y, N, tol, max_iter)
-    pi = sigmoid(st.f)
     amll = -0.5 * jnp.sum(st.a * st.f)
     # binomial log likelihood at the mode; log-sigmoid for stability
     amll = amll + jnp.sum(Y * jax.nn.log_sigmoid(st.f) + (N - Y) * jax.nn.log_sigmoid(-st.f))
     amll = amll - st.logdet_half
-    return amll
+    return amll, st.it, st.delta
 
 
 def gpc_marginal_log_likelihood_lowrank(
@@ -216,11 +228,8 @@ def gpc_nmll_objective_status(
         return -amll, it, delta
     C = heat_kernel(eigenpair, t, K, idx, idx)
     C = linalg.add_diag(C, jnp.full((m,), sigma, C.dtype))
-    st = _newton_mode(C, Y, N, tol, max_iter)
-    amll = -0.5 * jnp.sum(st.a * st.f)
-    amll = amll + jnp.sum(Y * jax.nn.log_sigmoid(st.f) + (N - Y) * jax.nn.log_sigmoid(-st.f))
-    amll = amll - st.logdet_half
-    return -amll, st.it, st.delta
+    amll, it, delta = gpc_marginal_log_likelihood_status(C, Y, N, tol, max_iter)
+    return -amll, it, delta
 
 
 def gpc_nlp_objective(
