@@ -40,7 +40,7 @@ from .fit.multiclass import (
 )
 from .fit.extras import heat_kernel_covariance, lae_eigenmap
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Approach",
