@@ -987,18 +987,29 @@ def main():
     results = {}
     errors = {}
 
-    def guarded(name, fn, *args):
-        try:
-            out = fn(*args)
-            results.update(out or {})
-            return out
-        except Exception as e:  # noqa: BLE001 — the whole point is survival
-            import traceback
+    # the remote tunnel occasionally drops a compile/transfer mid-stage
+    # (HTTP body truncation, worker restart) — such failures are transient
+    # and a single retry recovers them; anything else fails immediately
+    _TRANSIENT = ("remote_compile", "read body", "UNAVAILABLE", "ABORTED")
 
-            errors[name] = f"{type(e).__name__}: {e}"[:500]
-            _mark(f"STAGE FAILED {name}: {errors[name]}")
-            traceback.print_exc(file=sys.stderr)
-            return None
+    def guarded(name, fn, *args):
+        for attempt in (0, 1):
+            try:
+                out = fn(*args)
+                results.update(out or {})
+                errors.pop(name, None)
+                return out
+            except Exception as e:  # noqa: BLE001 — the whole point is survival
+                import traceback
+
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                _mark(f"STAGE FAILED {name} (attempt {attempt}): {errors[name]}")
+                traceback.print_exc(file=sys.stderr)
+                if attempt == 0 and any(t in errors[name] for t in _TRANSIENT):
+                    _mark(f"retrying {name} once (transient tunnel error)")
+                    time.sleep(20)
+                    continue
+                return None
 
     torus_res = None
 
