@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..inference.chees import CheesRun, run_chees
 from ..inference.hmc import HmcRun, run_hmc
 from ..inference.nuts import NutsRun, run_nuts
 
@@ -90,6 +91,44 @@ def sharded_nuts_fn(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=NutsRun(P(None, axis), P(None, axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+
+def sharded_chees_fn(
+    mesh: Mesh,
+    logprob: Callable[[jnp.ndarray], jnp.ndarray],
+    n_warmup: int,
+    n_samples: int,
+    max_steps: int = 256,
+    axis: str = "chain",
+):
+    """Chain-sharded ChEES-HMC: fn(keys (C, 2), x0 (C, dim)) → CheesRun.
+
+    Unlike HMC/NUTS sharding, adaptation here is CROSS-chain — every
+    reduction inside ``inference.chees`` rides one ``pmean`` over ``axis``
+    (step-size harmonic mean, ChEES criterion gradient, metric moments), so
+    all devices hold identical adapted (ε, τ, M⁻¹) and the per-iteration
+    leapfrog count stays batch-uniform across the whole mesh.  Collective
+    payload per iteration: 3 scalars + 2 (dim,) vectors — independent of the
+    chain count."""
+
+    def fn(keys_local, x0_local):
+        return run_chees(
+            keys_local[0],
+            logprob,
+            x0_local,
+            n_warmup=n_warmup,
+            n_samples=n_samples,
+            max_steps=max_steps,
+            axis_name=axis,
+        )
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=CheesRun(P(None, axis), P(None, axis), P(), P(), P(), P()),
         check_vma=False,
     )
 

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from flgp_tpu.inference.chees import halton2, run_chees, run_chees_fixed
 from flgp_tpu.inference.diagnostics import ess, split_rhat
 from flgp_tpu.inference.hmc import run_hmc
 from flgp_tpu.inference.nuts import run_nuts
@@ -68,6 +69,79 @@ class TestNuts:
         draws = np.asarray(run.samples).reshape(-1, 2)
         got = np.corrcoef(draws.T)[0, 1]
         np.testing.assert_allclose(got, rho, atol=0.1)
+
+
+class TestChees:
+    """Cross-chain-adaptive trajectory-length HMC (inference.chees): the
+    wide-batch replacement for vmapped NUTS (whose lockstep tree-doubling
+    collapses past ~1024 chains — VERDICT r4 §1)."""
+
+    def test_halton_low_discrepancy(self):
+        h = np.asarray(jax.vmap(halton2)(jnp.arange(1, 257, dtype=jnp.int32)))
+        assert np.all((h > 0) & (h < 1))
+        # base-2 radical inverse of 1..256 is exactly {k/256 grid}-dense:
+        # every length-1/16 subinterval contains 16 points
+        counts, _ = np.histogram(h, bins=16, range=(0, 1))
+        assert counts.min() == counts.max() == 16
+
+    def test_ill_conditioned_gaussian_moments_and_metric(self):
+        d = 16
+        scales = np.geomspace(1.0, 30.0, d)
+        mean = np.linspace(-2, 2, d)
+
+        def logprob(x):
+            return -0.5 * jnp.sum(((x - mean) / scales) ** 2)
+
+        run = jax.jit(
+            lambda k, x: run_chees(k, logprob, x, n_warmup=400, n_samples=600)
+        )(jax.random.PRNGKey(0), jnp.zeros((32, d)))
+        S = np.asarray(run.samples).reshape(-1, d)
+        np.testing.assert_allclose(S.mean(0), mean, atol=0.3)
+        np.testing.assert_allclose(S.std(0), scales, rtol=0.15)
+        # the cross-chain EMA metric should recover the marginal variances
+        np.testing.assert_allclose(np.asarray(run.inv_mass), scales**2, rtol=0.5)
+        # and the shared step should land acceptance in a sane band around
+        # the 0.651 target (harmonic-mean control is intentionally conservative)
+        acc = float(np.mean(np.asarray(run.accept_prob)))
+        assert 0.55 < acc < 0.95, acc
+
+    def test_ess_per_gradient_beats_fixed_hmc_floor(self):
+        """The adapted trajectory must actually buy mixing: min-ESS per
+        gradient evaluation on the conditioned Gaussian well above the
+        1-leapfrog random-walk floor (~1e-3 here) and within NUTS's class."""
+        d = 16
+        scales = np.geomspace(1.0, 30.0, d)
+
+        def logprob(x):
+            return -0.5 * jnp.sum((x / scales) ** 2)
+
+        run = jax.jit(
+            lambda k, x: run_chees(k, logprob, x, n_warmup=400, n_samples=600)
+        )(jax.random.PRNGKey(1), jnp.zeros((32, d)))
+        e = ess(np.asarray(run.samples))
+        grads = int(run.n_leapfrog_total) * 32
+        assert e.min() / grads > 0.02, (e.min(), grads)
+
+    def test_fixed_continuation_matches_adaptive_moments(self):
+        d = 8
+        scales = np.geomspace(1.0, 10.0, d)
+
+        def logprob(x):
+            return -0.5 * jnp.sum((x / scales) ** 2)
+
+        run = jax.jit(
+            lambda k, x: run_chees(k, logprob, x, n_warmup=300, n_samples=200)
+        )(jax.random.PRNGKey(2), jnp.zeros((16, d)))
+        cont = jax.jit(
+            lambda k, x: run_chees_fixed(
+                k, logprob, x, run.step, run.traj_len, run.inv_mass, n_samples=600
+            )
+        )(jax.random.PRNGKey(3), run.samples[-1])
+        S = np.asarray(cont.samples).reshape(-1, d)
+        np.testing.assert_allclose(S.mean(0), 0.0, atol=0.4)
+        np.testing.assert_allclose(S.std(0), scales, rtol=0.15)
+        rhat = np.asarray(split_rhat(cont.samples))
+        assert np.all(rhat < 1.05), rhat
 
 
 class TestSvi:

@@ -14,7 +14,12 @@ from flgp_tpu.fit.spectral import build_spectrum
 from flgp_tpu.models import gpr as gpr_mod
 from flgp_tpu.models.latent import GpcLogPost, WhitenedGP
 from flgp_tpu.ops.kmeans import kmeans
-from flgp_tpu.parallel.mcmc import pooled_mean_variance, sharded_hmc_fn, sharded_nuts_fn
+from flgp_tpu.parallel.mcmc import (
+    pooled_mean_variance,
+    sharded_chees_fn,
+    sharded_hmc_fn,
+    sharded_nuts_fn,
+)
 from flgp_tpu.parallel.smc import sharded_smc_fn
 from flgp_tpu.parallel.mesh import make_mesh, replicate, shard_rows
 from flgp_tpu.parallel.spectral import (
@@ -191,6 +196,37 @@ class TestChainParallel:
         mean, var = pooled_mean_variance(chain_mesh, run.samples)
         np.testing.assert_allclose(np.asarray(mean), np.asarray(target_mean), atol=0.25)
         np.testing.assert_allclose(np.asarray(var), 1.0, atol=0.5)
+
+
+    def test_sharded_chees_runs(self):
+        """Cross-chain ChEES adaptation under shard_map: the pmean-reduced
+        (step, traj_len, inv_mass) must come back replicated and the pooled
+        posterior must match the anisotropic target."""
+        chain_mesh = make_mesh(N_DEV, ("chain",))
+        dim = 6
+        scales = jnp.asarray(np.geomspace(1.0, 5.0, dim))
+
+        def logprob(x):
+            return -0.5 * jnp.sum((x / scales) ** 2)
+
+        n_chains = 4 * N_DEV
+        keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n_chains)])
+        x0 = jnp.asarray(np.random.default_rng(7).normal(size=(n_chains, dim)))
+
+        chees = jax.jit(
+            sharded_chees_fn(chain_mesh, logprob, n_warmup=300, n_samples=300)
+        )
+        run = chees(
+            shard_rows(chain_mesh, keys, "chain"), shard_rows(chain_mesh, x0, "chain")
+        )
+        assert run.samples.shape == (300, n_chains, dim)
+        # adapted triple is mesh-replicated scalars/(dim,)
+        assert run.step.shape == () and run.inv_mass.shape == (dim,)
+        mean, var = pooled_mean_variance(chain_mesh, run.samples)
+        np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.6)
+        np.testing.assert_allclose(
+            np.asarray(var), np.asarray(scales) ** 2, rtol=0.4
+        )
 
 
 class TestShardedSmc:
