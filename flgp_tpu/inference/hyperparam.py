@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..models.gpc import gpc_marginal_log_likelihood_lowrank
 from ..models.latent import t_log_prior_density
 from ..types import EigenPair
-from .smc import SmcResult, run_smc
+from .smc import SmcResult, run_smc, run_smc_chunked
 
 
 class TPosterior(NamedTuple):
@@ -111,6 +111,11 @@ class TQuadrature(NamedTuple):
     t_mean: jnp.ndarray         # exact posterior mean of t (scalar or (J,))
     t_sd: jnp.ndarray           # exact posterior sd of t
     log_evidence: jnp.ndarray   # log ∫ p(Y|t)·penalty(t)·lognormal(t) dt
+    # resolution diagnostic: max normalized COARSE-grid weight over classes.
+    # Near 1.0 would mean the coarse pass collapsed onto one cell and the
+    # refined pass is doing all the work; gate it well below 1 before
+    # treating the quadrature as ground truth.
+    coarse_max_weight: jnp.ndarray = jnp.float32(0.0)
 
 
 def mult_t_quadrature(
@@ -133,16 +138,24 @@ def mult_t_quadrature(
     """Exact per-class t-posterior moments by 1-D quadrature over θ = log t.
 
     The SMC target factorizes over classes and each factor is 1-D, so a
-    uniform-grid Riemann sum over θ spanning ±``half_width_sds``·s0 around
-    the lognormal prior mean gives the posterior essentially exactly (the
-    endpoint weighting is immaterial: the integrand is ~exp(−12.5) of its
-    peak at ±5 sd) — the ground truth :func:`mult_t_posterior` is validated
-    against (and the gold standard the reference's COBYLA point estimate
-    has no analogue of, src/train.cpp:38-71).  All grid×class marginal
-    evaluations batch on device: vmap over the grid, lax.map over classes
-    (same memory reasoning as mult_t_posterior).  The prior/tilt terms are
-    the same ``_q0_logpdf`` / ``_penalty_tilt`` the SMC target uses — keep
-    it that way, the whole point is that both describe ONE posterior.
+    grid Riemann sum over θ gives the posterior essentially exactly — the
+    ground truth :func:`mult_t_posterior` is validated against (and the gold
+    standard the reference's COBYLA point estimate has no analogue of,
+    src/train.cpp:38-71).  All grid×class marginal evaluations batch on
+    device: vmap over the grid, lax.map over classes (same memory reasoning
+    as mult_t_posterior).  The prior/tilt terms are the same ``_q0_logpdf``
+    / ``_penalty_tilt`` the SMC target uses — keep it that way, the whole
+    point is that both describe ONE posterior.
+
+    Two passes guard the resolution: the coarse pass spans
+    ±``half_width_sds``·s0 around the prior mean (endpoint weighting is
+    immaterial — the integrand is ~exp(−12.5) of its peak at ±5 sd); a
+    refined pass then re-grids EACH class over its coarse posterior mean
+    ± 8 coarse-sd (floored at one coarse cell), so a per-class posterior
+    narrower than a coarse cell — the large-m failure mode where the "exact"
+    t_sd denominator would silently degrade — is re-resolved with the full
+    ``n_grid`` budget.  ``coarse_max_weight`` reports how much the coarse
+    pass had collapsed.
     """
     m, J = aug_y.shape
     dtype = eigenpair.vectors.dtype
@@ -151,11 +164,7 @@ def mult_t_quadrature(
     V_idx = eigenpair.vectors[idx, :K]
     lam = 1.0 - eigenpair.values[:K]
 
-    thetas = jnp.linspace(
-        mu0 - half_width_sds * s0, mu0 + half_width_sds * s0, n_grid, dtype=dtype
-    )
-
-    def class_logw(yj):
+    def class_logw(yj, thetas_j):
         def at_theta(theta):
             t = jnp.exp(theta)
             Phi = V_idx * jnp.exp(-0.5 * t * lam)[None, :]
@@ -165,16 +174,38 @@ def mult_t_quadrature(
             prior = _q0_logpdf(theta[None], mu0, s0)
             return mll + _penalty_tilt(t, p, q, tau) + prior
 
-        return jax.vmap(at_theta)(thetas)
+        return jax.vmap(at_theta)(thetas_j)
 
-    logw = jax.lax.map(class_logw, aug_y.T)          # (J, n_grid)
-    dtheta = thetas[1] - thetas[0]
-    log_z = jax.scipy.special.logsumexp(logw, axis=1) + jnp.log(dtheta)
-    w = jnp.exp(logw - jax.scipy.special.logsumexp(logw, axis=1, keepdims=True))
-    ts = jnp.exp(thetas)[None, :]
-    t_mean = jnp.sum(w * ts, axis=1)
-    t_var = jnp.sum(w * (ts - t_mean[:, None]) ** 2, axis=1)
-    return TQuadrature(t_mean, jnp.sqrt(t_var), jnp.sum(log_z))
+    def moments(logw, thetas):
+        """Per-class (log Z, t-mean, t-var, θ-mean, θ-sd) from (J, n_grid)
+        log-weights over per-class grids (J, n_grid)."""
+        dtheta = thetas[:, 1] - thetas[:, 0]
+        lse = jax.scipy.special.logsumexp(logw, axis=1)
+        log_z = lse + jnp.log(dtheta)
+        w = jnp.exp(logw - lse[:, None])
+        ts = jnp.exp(thetas)
+        t_mean = jnp.sum(w * ts, axis=1)
+        t_var = jnp.sum(w * (ts - t_mean[:, None]) ** 2, axis=1)
+        th_mean = jnp.sum(w * thetas, axis=1)
+        th_sd = jnp.sqrt(jnp.sum(w * (thetas - th_mean[:, None]) ** 2, axis=1))
+        return log_z, t_mean, t_var, th_mean, th_sd, w
+
+    coarse = jnp.linspace(
+        mu0 - half_width_sds * s0, mu0 + half_width_sds * s0, n_grid, dtype=dtype
+    )
+    coarse_j = jnp.broadcast_to(coarse, (J, n_grid))
+    logw0 = jax.lax.map(lambda a: class_logw(a[0], a[1]), (aug_y.T, coarse_j))
+    _, _, _, th_mean, th_sd, w0 = moments(logw0, coarse_j)
+    max_w = jnp.max(w0)
+
+    cell = coarse[1] - coarse[0]
+    half = jnp.maximum(8.0 * th_sd, cell)
+    lo = th_mean - half
+    steps = jnp.linspace(0.0, 1.0, n_grid, dtype=dtype)
+    fine_j = lo[:, None] + (2.0 * half)[:, None] * steps[None, :]
+    logw1 = jax.lax.map(lambda a: class_logw(a[0], a[1]), (aug_y.T, fine_j))
+    log_z, t_mean, t_var, _, _, _ = moments(logw1, fine_j)
+    return TQuadrature(t_mean, jnp.sqrt(t_var), jnp.sum(log_z), max_w)
 
 
 def mult_t_posterior(
@@ -194,6 +225,7 @@ def mult_t_posterior(
     s0: float = 1.5,
     newton_tol: float = 1e-5,
     newton_max_iter: int = 100,
+    stages_per_dispatch: int | None = None,
 ) -> TPosterior:
     """Joint SMC posterior over per-class log t for one-vs-rest multiclass.
 
@@ -201,6 +233,13 @@ def mult_t_posterior(
     J binary marginals batch under one vmap per particle — the TPU replaces
     the reference's serial per-class COBYLA loop
     (src/MultiClassification.cpp:40-50) with a fully batched posterior.
+
+    ``stages_per_dispatch``: when set, the tempering ladder runs through
+    :func:`run_smc_chunked` — ≤ that many stages per device dispatch with the
+    tiny SMC state carried across dispatches (bit-identical result).  This is
+    how the VALIDATED 64-particle/5-mutation budget runs on an executor with
+    a per-dispatch watchdog; the function is then no longer jittable as a
+    whole (it owns a host loop).
     """
     m, J = aug_y.shape
     dtype = eigenpair.vectors.dtype
@@ -235,9 +274,16 @@ def mult_t_posterior(
 
     k0, k1 = jax.random.split(key)
     x0 = mu0 + s0 * jax.random.normal(k0, (n_particles, J), dtype)
-    smc = run_smc(
-        k1, log_prior, log_like, x0,
-        n_mutation_steps=n_mutation_steps, mutation="rwm", step_size=0.5,
-    )
+    if stages_per_dispatch is None:
+        smc = run_smc(
+            k1, log_prior, log_like, x0,
+            n_mutation_steps=n_mutation_steps, mutation="rwm", step_size=0.5,
+        )
+    else:
+        smc = run_smc_chunked(
+            k1, log_prior, log_like, x0,
+            stages_per_dispatch=stages_per_dispatch,
+            n_mutation_steps=n_mutation_steps, mutation="rwm", step_size=0.5,
+        )
     t = jnp.exp(smc.particles)
     return TPosterior(t, jnp.mean(t, 0), jnp.std(t, 0), smc.log_evidence, smc)

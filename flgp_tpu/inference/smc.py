@@ -6,6 +6,18 @@ sample size; resampling is systematic.  Particles shard over the ``chain``
 mesh axis in ``parallel.mcmc``-style deployments — resampling is the one
 collective (an all-gather of weights), matching the BASELINE.json design
 ("resampling … done via collectives").
+
+Two drivers over ONE stage body:
+
+- :func:`run_smc` — the whole tempering ladder in a single
+  ``lax.while_loop`` (one dispatch; right when the per-stage work is small).
+- :func:`run_smc_chunked` — the same ladder split into host-side dispatches
+  of ≤ ``stages_per_dispatch`` stages each.  The SMC state is a tiny pytree,
+  so checkpointing it across dispatches is free — this is how petaFLOP-scale
+  ladders (e.g. the multiclass Laplace-marginal target at its validated
+  64-particle/5-mutation budget) run under a remote-executor watchdog that a
+  single monolithic dispatch would trip.  Both drivers apply the identical
+  stage body in the identical order, so their results agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -27,6 +39,18 @@ class SmcResult(NamedTuple):
     temperatures: jnp.ndarray   # (max_stages,) padded with 1.0
 
 
+class SmcState(NamedTuple):
+    """Full tempering state — checkpointable across dispatches."""
+
+    key: jax.Array
+    particles: jnp.ndarray
+    beta: jnp.ndarray
+    log_Z: jnp.ndarray
+    stage: jnp.ndarray
+    step: jnp.ndarray
+    temps: jnp.ndarray
+
+
 def _systematic_resample(key, log_w, n):
     w = jax.nn.softmax(log_w)
     positions = (jax.random.uniform(key, ()) + jnp.arange(n)) / n
@@ -39,45 +63,22 @@ def _ess_from_logw(log_w):
     return 1.0 / jnp.sum(w * w)
 
 
-def run_smc(
-    key: jax.Array,
+def _make_stage_body(
     log_prior: LogProbFn,
     log_like: LogProbFn,
-    x0: jnp.ndarray,
-    n_mutation_steps: int = 5,
-    n_leapfrog: int = 8,
-    target_ess_frac: float = 0.5,
-    max_stages: int = 50,
-    step_size: float = 0.1,
-    mutation: str = "hmc",
-) -> SmcResult:
-    """Temper from the prior to prior·likelihood.
-
-    x0: (n_particles, dim) draws from the prior.  The per-stage mutation
-    targets log_prior + β·log_like with a shared step size rescaled by the
-    acceptance statistics of the previous stage.
-
-    mutation: "hmc" (gradient-based; requires log_like to be reverse-mode
-    differentiable) or "rwm" (Gaussian random-walk Metropolis — for targets
-    whose likelihood runs through non-differentiable solvers, e.g. the
-    Laplace-approximate GPC marginal's Newton ``while_loop``).
-    """
-    if mutation not in ("hmc", "rwm"):
-        raise ValueError(f"unknown mutation kernel {mutation!r}")
-    n, dim = x0.shape
-    dtype = x0.dtype
+    n: int,
+    dim: int,
+    dtype,
+    n_mutation_steps: int,
+    n_leapfrog: int,
+    target_ess_frac: float,
+    mutation: str,
+):
+    """One tempering stage: pick β by ESS bisection, reweight, resample,
+    mutate.  Shared verbatim by both drivers (bit-identical schedules)."""
 
     def tempered(beta):
         return lambda x: log_prior(x) + beta * log_like(x)
-
-    class State(NamedTuple):
-        key: jax.Array
-        particles: jnp.ndarray
-        beta: jnp.ndarray
-        log_Z: jnp.ndarray
-        stage: jnp.ndarray
-        step: jnp.ndarray
-        temps: jnp.ndarray
 
     def next_beta(particles, beta):
         """Bisect the increment so the incremental ESS hits the target."""
@@ -104,10 +105,7 @@ def run_smc(
         )
         return jnp.where(full_ok, jnp.asarray(1.0, dtype), lo), ll
 
-    def stage_cond(st: State):
-        return jnp.logical_and(st.beta < 1.0, st.stage < max_stages)
-
-    def stage_body(st: State):
+    def stage_body(st: SmcState):
         key, k_res, k_mut = jax.random.split(st.key, 3)
         beta_new, ll = next_beta(st.particles, st.beta)
         log_w = (beta_new - st.beta) * ll
@@ -166,9 +164,16 @@ def run_smc(
         # crude step-size controller toward the kernel's target acceptance
         step = st.step * jnp.exp(1.0 * (mean_ap - accept_target))
         temps = st.temps.at[st.stage].set(beta_new)
-        return State(key, xs, beta_new, log_Z, st.stage + 1, step, temps)
+        return SmcState(key, xs, beta_new, log_Z, st.stage + 1, step, temps)
 
-    init = State(
+    return stage_body
+
+
+def smc_init(
+    key: jax.Array, x0: jnp.ndarray, step_size: float = 0.1, max_stages: int = 50
+) -> SmcState:
+    dtype = x0.dtype
+    return SmcState(
         key,
         x0,
         jnp.asarray(0.0, dtype),
@@ -177,5 +182,100 @@ def run_smc(
         jnp.asarray(step_size, dtype),
         jnp.ones((max_stages,), dtype),
     )
-    out = jax.lax.while_loop(stage_cond, stage_body, init)
+
+
+def _check_mutation(mutation: str):
+    if mutation not in ("hmc", "rwm"):
+        raise ValueError(f"unknown mutation kernel {mutation!r}")
+
+
+def run_smc(
+    key: jax.Array,
+    log_prior: LogProbFn,
+    log_like: LogProbFn,
+    x0: jnp.ndarray,
+    n_mutation_steps: int = 5,
+    n_leapfrog: int = 8,
+    target_ess_frac: float = 0.5,
+    max_stages: int = 50,
+    step_size: float = 0.1,
+    mutation: str = "hmc",
+) -> SmcResult:
+    """Temper from the prior to prior·likelihood.
+
+    x0: (n_particles, dim) draws from the prior.  The per-stage mutation
+    targets log_prior + β·log_like with a shared step size rescaled by the
+    acceptance statistics of the previous stage.
+
+    mutation: "hmc" (gradient-based; requires log_like to be reverse-mode
+    differentiable) or "rwm" (Gaussian random-walk Metropolis — for targets
+    whose likelihood runs through non-differentiable solvers, e.g. the
+    Laplace-approximate GPC marginal's Newton ``while_loop``).
+    """
+    _check_mutation(mutation)
+    n, dim = x0.shape
+    stage_body = _make_stage_body(
+        log_prior, log_like, n, dim, x0.dtype,
+        n_mutation_steps, n_leapfrog, target_ess_frac, mutation,
+    )
+
+    def stage_cond(st: SmcState):
+        return jnp.logical_and(st.beta < 1.0, st.stage < max_stages)
+
+    out = jax.lax.while_loop(
+        stage_cond, stage_body, smc_init(key, x0, step_size, max_stages)
+    )
     return SmcResult(out.particles, out.log_Z, out.stage, out.temps)
+
+
+def run_smc_chunked(
+    key: jax.Array,
+    log_prior: LogProbFn,
+    log_like: LogProbFn,
+    x0: jnp.ndarray,
+    stages_per_dispatch: int = 4,
+    n_mutation_steps: int = 5,
+    n_leapfrog: int = 8,
+    target_ess_frac: float = 0.5,
+    max_stages: int = 50,
+    step_size: float = 0.1,
+    mutation: str = "hmc",
+) -> SmcResult:
+    """The :func:`run_smc` ladder split across host-side dispatches.
+
+    Each jitted dispatch runs the shared stage body under a while_loop bound
+    by ``stage < limit`` with ``limit = stage_at_entry + stages_per_dispatch``
+    (and β < 1), then the host reads back β (a scalar — the state stays on
+    device) and re-dispatches until the ladder finishes.  Because the bound
+    only truncates the SAME while_loop the monolithic driver runs, the
+    sequence of stage-body applications — and therefore the result — is
+    bit-identical to :func:`run_smc`.  One compile: ``limit`` is a traced
+    argument.
+
+    This is NOT a jittable function (it owns a host loop); call it directly
+    and jit only lives inside.
+    """
+    _check_mutation(mutation)
+    n, dim = x0.shape
+    stage_body = _make_stage_body(
+        log_prior, log_like, n, dim, x0.dtype,
+        n_mutation_steps, n_leapfrog, target_ess_frac, mutation,
+    )
+
+    @jax.jit
+    def dispatch(st: SmcState, limit):
+        def cond(s: SmcState):
+            return jnp.logical_and(s.beta < 1.0, s.stage < limit)
+
+        return jax.lax.while_loop(cond, stage_body, st)
+
+    st = smc_init(key, x0, step_size, max_stages)
+    stage = 0
+    while stage < max_stages:
+        limit = min(stage + stages_per_dispatch, max_stages)
+        st = dispatch(st, jnp.int32(limit))
+        # the two scalars the host loop needs; everything else stays on device
+        stage = int(st.stage)
+        if float(st.beta) >= 1.0:
+            break
+    return SmcResult(st.particles, st.log_Z, st.stage, st.temps)

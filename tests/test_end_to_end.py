@@ -231,6 +231,15 @@ class TestDigits:
         idx = jnp.arange(200)
         quad = mult_t_quadrature(eig, aug, idx, 50, 1e-3)
         assert (np.asarray(quad.t_sd) > 0).all()
+        # resolution guard (ADVICE r4): the coarse pass must not have
+        # collapsed onto one grid cell, and the refined two-pass moments must
+        # be grid-converged — a 3x-coarser budget lands on the same answer
+        assert float(quad.coarse_max_weight) < 0.5
+        quad_lo = mult_t_quadrature(eig, aug, idx, 50, 1e-3, n_grid=96)
+        np.testing.assert_allclose(
+            np.asarray(quad_lo.t_mean), np.asarray(quad.t_mean),
+            atol=0.02 * float(np.min(np.asarray(quad.t_sd))),
+        )
         post = mult_t_posterior(
             jax.random.PRNGKey(3), eig, aug, idx, 50, 1e-3,
             n_particles=64, n_mutation_steps=5,

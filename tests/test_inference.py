@@ -213,6 +213,41 @@ class TestSmc:
             np.asarray(res.particles).mean(0), post_mean, atol=0.15
         )
 
+    def test_chunked_driver_bit_identical(self):
+        """run_smc_chunked applies the same stage body under a truncated
+        while_loop bound — particles, evidence, and temperature ladder must
+        match the monolithic driver exactly."""
+        from flgp_tpu.inference.smc import run_smc_chunked
+
+        mu = np.array([0.5, -0.5])
+        s2 = 0.5**2
+
+        def log_prior(x):
+            return -0.5 * jnp.sum(x * x) - 0.5 * 2 * jnp.log(2 * jnp.pi)
+
+        def log_like(x):
+            return -0.5 * jnp.sum((x - mu) ** 2) / s2 - 0.5 * 2 * jnp.log(2 * jnp.pi * s2)
+
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (128, 2))
+        mono = run_smc(
+            jax.random.PRNGKey(1), log_prior, log_like, x0,
+            n_mutation_steps=3, mutation="rwm", step_size=0.5,
+        )
+        for chunk in (1, 3):
+            ck = run_smc_chunked(
+                jax.random.PRNGKey(1), log_prior, log_like, x0,
+                stages_per_dispatch=chunk,
+                n_mutation_steps=3, mutation="rwm", step_size=0.5,
+            )
+            assert int(ck.n_stages) == int(mono.n_stages)
+            np.testing.assert_array_equal(
+                np.asarray(ck.particles), np.asarray(mono.particles)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ck.temperatures), np.asarray(mono.temperatures)
+            )
+            assert float(ck.log_evidence) == float(mono.log_evidence)
+
     def test_rejects_unknown_mutation(self):
         with pytest.raises(ValueError):
             run_smc(
