@@ -250,8 +250,9 @@ def _instrumented_lae_fit(key, X_all, Y, N, cfg: FitConfig, m, n, max_count, tas
             res = train(seig, Ys)
             slot["_sync"] = res.t
         metrics["train_s"] = report.stages[-1].wall_s
-        # SURVEY §5 failure detection: Adam convergence status — gradient
-        # norm (log-coords) at the returned iterate plus the best objective
+        # SURVEY §5 failure detection: gradient norm (log-coords) recomputed
+        # at the RETURNED (t, noise) — even when the coarse-grid seed beats
+        # the Adam iterate (optimize.minimize_t_noise) — plus best objective
         metrics["adam_grad_norm"] = float(res.grad_norm)
         metrics["train_obj"] = float(res.obj)
         tail = jax.jit(lambda e, y, t, nz: _gpr_tail(e, y, m, n, K, scfg, t, nz))

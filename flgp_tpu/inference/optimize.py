@@ -93,6 +93,15 @@ def minimize_1d_log(
         return us2, fs2, i2, rounds + 1
 
     us, fs, i, n_exp = jax.lax.while_loop(exp_cond, exp_body, (us, fs, i, jnp.int32(0)))
+    if coarse_fn is not None:
+        # belt-and-braces (ADVICE r4): a surrogate misranking of ≥2 coarse
+        # cells is unrecoverable once the refinement bracket clips to the
+        # wrong neighborhood — re-evaluate the EXACT objective on the top-3
+        # surrogate cells (3 extra evals, one vmap) and bracket the winner
+        _, top3 = jax.lax.top_k(-fs, 3)
+        f_ex = jax.vmap(g)(us[top3])
+        f_ex = jnp.where(jnp.isfinite(f_ex), f_ex, jnp.inf)
+        i = top3[jnp.argmin(f_ex)]
     wa, wb = us[0], us[-1]
     a = us[jnp.maximum(i - 1, 0)]
     b = us[jnp.minimum(i + 1, n_grid - 1)]
@@ -176,7 +185,7 @@ class GprOptResult(NamedTuple):
     t: jnp.ndarray
     noise: jnp.ndarray
     obj: jnp.ndarray        # minimized objective value
-    grad_norm: jnp.ndarray  # ‖∇obj‖ (log-coords) at the Adam iterate (status)
+    grad_norm: jnp.ndarray  # ‖∇obj‖ (log-coords) at the RETURNED point (status)
 
 
 def minimize_t_noise(
@@ -216,11 +225,20 @@ def minimize_t_noise(
     t = t_lb + jnp.exp(res.x[0])
     noise = noise_lb + jnp.exp(res.x[1])
     better = res.obj < vals[i]
+    t_out = jnp.where(better, t, flatT[i])
+    n_out = jnp.where(better, noise, flatN[i])
+    # the convergence-status gradient must describe the RETURNED point
+    # (ADVICE r4): when the coarse-grid point wins, Adam's grad_norm is a
+    # different iterate's — recompute at (t_out, n_out) in log-coords
+    x_out = jnp.stack(
+        [
+            jnp.log(jnp.maximum(t_out - t_lb, 1e-6)),
+            jnp.log(jnp.maximum(n_out - noise_lb, 1e-6)),
+        ]
+    ).astype(dtype)
+    g_out = jax.grad(obj_flat)(x_out)
     return GprOptResult(
-        jnp.where(better, t, flatT[i]),
-        jnp.where(better, noise, flatN[i]),
-        jnp.minimum(res.obj, vals[i]),
-        res.grad_norm,
+        t_out, n_out, jnp.minimum(res.obj, vals[i]), jnp.linalg.norm(g_out)
     )
 
 
@@ -231,12 +249,38 @@ def minimize_t_noisevec(
     noise_lb: float = 1e-4,
     t0: float = 10.0,
     noise0: float = 1.0,
+    t_range: Tuple[float, float] = (1e-2, 1e3),
+    noise_range: Tuple[float, float] = (1e-3, 1e1),
+    n_grid: int = 8,
     adam_steps: int = 400,
     adam_lr: float = 0.05,
     dtype=jnp.float32,
 ) -> GprOptResult:
     """Per-point-noise variant: minimize fn(t, noise_vec) over m+1 parameters
-    (reference MMA path at src/train.cpp:588-624)."""
+    (reference MMA path at src/train.cpp:588-624).
+
+    Seeding mirrors :func:`minimize_t_noise`: a vmapped coarse log-grid over
+    (t, HOMOSCEDASTIC noise) picks the starting basin, then Adam runs over
+    the full (t, noise-vector) space from the winner.  (Round ≤4 started
+    Adam from the fixed (t0, noise0·1) — on multimodal heteroscedastic
+    marginals that lands in whichever basin contains t0; the grid costs
+    n_grid² batched evaluations and restores basin selection.  The (t0,
+    noise0) point joins the grid so the previous behavior is in the
+    candidate set.)"""
+    ts = jnp.logspace(
+        jnp.log10(jnp.asarray(t_range[0], dtype)),
+        jnp.log10(jnp.asarray(t_range[1], dtype)), n_grid,
+    )
+    ns = jnp.logspace(
+        jnp.log10(jnp.asarray(noise_range[0], dtype)),
+        jnp.log10(jnp.asarray(noise_range[1], dtype)), n_grid,
+    )
+    T, Nz = jnp.meshgrid(ts, ns, indexing="ij")
+    flatT = jnp.concatenate([T.reshape(-1), jnp.full((1,), t0, dtype)])
+    flatN = jnp.concatenate([Nz.reshape(-1), jnp.full((1,), noise0, dtype)])
+    vals = jax.vmap(lambda t, nz: fn(t, jnp.full((m,), nz, dtype)))(flatT, flatN)
+    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+    i = jnp.argmin(vals)
 
     def obj_flat(x):
         t = t_lb + jnp.exp(x[0])
@@ -245,11 +289,24 @@ def minimize_t_noisevec(
 
     x0 = jnp.concatenate(
         [
-            jnp.full((1,), jnp.log(t0 - t_lb), dtype),
-            jnp.full((m,), jnp.log(noise0 - noise_lb), dtype),
+            jnp.log(jnp.maximum(flatT[i] - t_lb, 1e-6))[None],
+            jnp.full((m,), jnp.log(jnp.maximum(flatN[i] - noise_lb, 1e-6)), dtype),
         ]
-    )
+    ).astype(dtype)
     res = adam_minimize(obj_flat, x0, steps=adam_steps, lr=adam_lr)
     t = t_lb + jnp.exp(res.x[0])
     noise = noise_lb + jnp.exp(res.x[1:])
-    return GprOptResult(t, noise, res.obj, res.grad_norm)
+    # keep the better of (Adam iterate, grid seed) like the scalar variant
+    better = res.obj < vals[i]
+    t_out = jnp.where(better, t, flatT[i])
+    n_out = jnp.where(better, noise, jnp.full((m,), flatN[i], dtype))
+    x_out = jnp.concatenate(
+        [
+            jnp.log(jnp.maximum(t_out - t_lb, 1e-6))[None],
+            jnp.log(jnp.maximum(n_out - noise_lb, 1e-6)),
+        ]
+    ).astype(dtype)
+    g_out = jax.grad(obj_flat)(x_out)
+    return GprOptResult(
+        t_out, n_out, jnp.minimum(res.obj, vals[i]), jnp.linalg.norm(g_out)
+    )
