@@ -1,9 +1,23 @@
 """Stochastic variational inference for the whitened spectral GP models.
 
-Mean-field Gaussian posterior over the flattened parameter vector (latent u
-plus log-hyperparameters) trained with reparameterized ELBO gradients.  The
-reference has no variational inference at all; this is the cheap-inference
-tier of the stack (BASELINE.json north star: "stochastic VI").
+Two reparameterized Gaussian families trained with Adam on the ELBO:
+
+- :class:`MeanField` — diagonal covariance.  LIMITATION: a mean-field
+  Gaussian cannot represent posterior correlations, so on a correlated
+  target it silently under-covers jointly (per-marginal sds can still be
+  right; it is the off-diagonals that are zeroed).  The whitened spectral
+  GP posteriors this stack targets are near-independent by construction
+  (measured on the torus GPC posterior: max moment error 0.30 sd vs NUTS,
+  sd-ratio 1.002), which is why mean-field is the default tier — but verify
+  against an MCMC run before trusting it on a new model.
+- :class:`LowRankGaussian` — covariance D + W·Wᵀ (diag plus rank-R factor):
+  the cheap upgrade when correlations matter.  Sampling adds one (dim, R)
+  matvec per draw; the entropy uses the matrix determinant lemma so nothing
+  dim×dim is ever formed.
+
+The reference has no variational inference at all; this is the
+cheap-inference tier of the stack (BASELINE.json north star: "stochastic
+VI").
 """
 
 from __future__ import annotations
@@ -29,26 +43,45 @@ class MeanField(NamedTuple):
         return 0.5 * d * (1.0 + jnp.log(2.0 * jnp.pi)) + jnp.sum(self.log_scale)
 
 
+class LowRankGaussian(NamedTuple):
+    """q(x) = N(mu, diag(exp(2·log_scale)) + W·Wᵀ), W: (dim, rank)."""
+
+    mu: jnp.ndarray
+    log_scale: jnp.ndarray
+    W: jnp.ndarray
+
+    def sample(self, key: jax.Array, n: int) -> jnp.ndarray:
+        k1, k2 = jax.random.split(key)
+        dim, rank = self.W.shape
+        eps = jax.random.normal(k1, (n, dim), self.mu.dtype)
+        z = jax.random.normal(k2, (n, rank), self.mu.dtype)
+        return self.mu + jnp.exp(self.log_scale) * eps + z @ self.W.T
+
+    def entropy(self) -> jnp.ndarray:
+        """0.5·logdet(2πe·(D + WWᵀ)) via the matrix determinant lemma:
+        logdet(D + WWᵀ) = logdet(D) + logdet(I_R + Wᵀ D⁻¹ W)."""
+        dim, rank = self.W.shape
+        d_inv = jnp.exp(-2.0 * self.log_scale)
+        small = jnp.eye(rank, dtype=self.mu.dtype) + self.W.T @ (d_inv[:, None] * self.W)
+        _, logdet_small = jnp.linalg.slogdet(small)
+        logdet = 2.0 * jnp.sum(self.log_scale) + logdet_small
+        return 0.5 * dim * (1.0 + jnp.log(2.0 * jnp.pi)) + 0.5 * logdet
+
+    def covariance(self) -> jnp.ndarray:
+        """Dense (dim, dim) covariance — diagnostics only, not the hot path."""
+        return jnp.diag(jnp.exp(2.0 * self.log_scale)) + self.W @ self.W.T
+
+
 class SviResult(NamedTuple):
-    posterior: MeanField
+    posterior: MeanField | LowRankGaussian
     elbo_trace: jnp.ndarray
 
 
-def fit_svi(
-    key: jax.Array,
-    logprob: LogProbFn,
-    dim: int,
-    steps: int = 1000,
-    n_mc: int = 8,
-    lr: float = 0.02,
-    init_mu: jnp.ndarray | None = None,
-    dtype=jnp.float32,
-) -> SviResult:
-    """Maximize the ELBO E_q[log p(x)] + H(q) with Adam on (μ, log σ)."""
-    mu0 = jnp.zeros((dim,), dtype) if init_mu is None else init_mu.astype(dtype)
-    params0 = MeanField(mu0, jnp.full((dim,), -2.0, dtype))
+def _adam_elbo(params0, logprob: LogProbFn, key: jax.Array, steps, n_mc, lr):
+    """Maximize E_q[log p(x)] + H(q) with Adam on the family's parameters —
+    any NamedTuple with .sample(key, n) and .entropy()."""
 
-    def neg_elbo(params: MeanField, k):
+    def neg_elbo(params, k):
         xs = params.sample(k, n_mc)
         lp = jnp.mean(jax.vmap(logprob)(xs))
         return -(lp + params.entropy())
@@ -71,7 +104,48 @@ def fit_svi(
         return (params, m, v, ic), -loss
 
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params0)
+    dtype = params0.mu.dtype
     (params, _, _, _), elbo = jax.lax.scan(
         step, (params0, zeros, zeros, jnp.asarray(0.0, dtype)), jax.random.split(key, steps)
     )
     return SviResult(params, elbo)
+
+
+def fit_svi(
+    key: jax.Array,
+    logprob: LogProbFn,
+    dim: int,
+    steps: int = 1000,
+    n_mc: int = 8,
+    lr: float = 0.02,
+    init_mu: jnp.ndarray | None = None,
+    dtype=jnp.float32,
+) -> SviResult:
+    """Mean-field SVI (see the module docstring for the correlation
+    limitation and when to reach for :func:`fit_svi_lowrank`)."""
+    mu0 = jnp.zeros((dim,), dtype) if init_mu is None else init_mu.astype(dtype)
+    params0 = MeanField(mu0, jnp.full((dim,), -2.0, dtype))
+    return _adam_elbo(params0, logprob, key, steps, n_mc, lr)
+
+
+def fit_svi_lowrank(
+    key: jax.Array,
+    logprob: LogProbFn,
+    dim: int,
+    rank: int = 5,
+    steps: int = 1000,
+    n_mc: int = 8,
+    lr: float = 0.02,
+    init_mu: jnp.ndarray | None = None,
+    dtype=jnp.float32,
+) -> SviResult:
+    """Low-rank-plus-diagonal SVI: mean-field cost plus one (dim, rank)
+    factor, capturing the top-``rank`` posterior correlation directions the
+    mean-field family zeroes out."""
+    k_init, k_fit = jax.random.split(key)
+    mu0 = jnp.zeros((dim,), dtype) if init_mu is None else init_mu.astype(dtype)
+    # small random factor init: at W = 0 the entropy gradient in W vanishes
+    # identically, so zeros is a (weak) saddle — break it explicitly
+    W0 = 0.01 * jax.random.normal(k_init, (dim, rank), dtype) / jnp.sqrt(dim)
+    params0 = LowRankGaussian(mu0, jnp.full((dim,), -2.0, dtype), W0)
+    return _adam_elbo(params0, logprob, key, steps, n_mc, lr)
