@@ -133,3 +133,34 @@ class TestFullPipeline:
         )
         got = fn(X.T, U, counts)
         np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values), atol=1e-10)
+
+
+class TestColmajorAnchors:
+    """k-means anchors + cluster sizes on the feature-major path (the n=1e7
+    bench previously drew random rows — VERDICT r4 §missing-2)."""
+
+    def test_kmeans_anchors_find_blobs(self):
+        from flgp_tpu.ops.colmajor import kmeans_anchors_colmajor
+
+        rng = np.random.default_rng(0)
+        blobs = np.array([[4.0, 0, 0], [-4, 0, 0], [0, 4, 0], [0, -4, 0]])
+        X = np.concatenate(
+            [b + 0.2 * rng.normal(size=(500, 3)) for b in blobs]
+        ).astype(np.float64)
+        rng.shuffle(X)
+        centers = jax.jit(
+            lambda k, Xt: kmeans_anchors_colmajor(k, Xt, 4, n_sample=1024)
+        )(jax.random.PRNGKey(0), jnp.asarray(X.T))
+        got = np.sort(np.asarray(centers), axis=0)
+        np.testing.assert_allclose(got, np.sort(blobs, axis=0), atol=0.15)
+
+    def test_cluster_sizes_match_pointmajor_oracle(self):
+        from flgp_tpu.ops.colmajor import cluster_sizes_colmajor
+
+        X, U = _data(n=517, s=32, seed=3)
+        lab = np.asarray(knn(X, U, 1).indices[:, 0])
+        ref = np.bincount(lab, minlength=32).astype(np.float64)
+        got = jax.jit(
+            lambda Xt, c: cluster_sizes_colmajor(Xt, c, chunk=128)
+        )(X.T, U)
+        np.testing.assert_allclose(np.asarray(got), ref)
