@@ -120,20 +120,33 @@ def _chees_transition(
 
 
 def _chees_grad(st, prop, p1, accept_prob, inv_mass, h, axis_name):
-    """Accept-weighted ChEES criterion gradient w.r.t. trajectory length."""
+    """Accept-weighted ChEES criterion gradient w.r.t. trajectory length.
+
+    Divergent proposals (non-finite x⁺/p⁺ — a too-long f32 trajectory
+    through a steep region) are excluded by zeroing their accept weight AND
+    their field values: the MH accept path already rejects them, but the
+    criterion reads proposals directly, and one NaN chain would otherwise
+    poison the cross-chain means and pin τ at NaN for the rest of warmup
+    (observed on the v5e before this guard)."""
     dtype = st.x.dtype
-    a = accept_prob.astype(dtype)
+    finite = jnp.logical_and(
+        jnp.all(jnp.isfinite(prop.x), axis=1), jnp.all(jnp.isfinite(p1), axis=1)
+    )
+    a = jnp.where(finite, accept_prob.astype(dtype), 0.0)
+    xp = jnp.where(finite[:, None], prop.x, 0.0)
+    p1 = jnp.where(finite[:, None], p1, 0.0)
     a_sum = jnp.maximum(_pmean(jnp.mean(a), axis_name), 1e-6)
     # centered on cross-chain means: current states plainly, proposals
     # accept-weighted (rejected proposals can sit arbitrarily far out)
     xbar = _pmean(jnp.mean(st.x, axis=0), axis_name)
-    xbar_p = _pmean(jnp.mean(a[:, None] * prop.x, axis=0), axis_name) / a_sum
+    xbar_p = _pmean(jnp.mean(a[:, None] * xp, axis=0), axis_name) / a_sum
     dx = st.x - xbar[None, :]
-    dxp = prop.x - xbar_p[None, :]
+    dxp = xp - xbar_p[None, :]
     dD = jnp.sum(dxp * dxp, axis=1) - jnp.sum(dx * dx, axis=1)
     v1 = inv_mass[None, :] * p1
     per_chain = dD * jnp.sum(dxp * v1, axis=1)
-    return h * _pmean(jnp.mean(a * per_chain), axis_name) / a_sum
+    g = h * _pmean(jnp.mean(a * per_chain), axis_name) / a_sum
+    return jnp.where(jnp.isfinite(g), g, 0.0)
 
 
 class CheesRun(NamedTuple):
@@ -163,6 +176,7 @@ def run_chees(
     max_steps: int = 256,
     adam_lr: float = 0.025,
     axis_name: str | None = None,
+    inv_mass0: jnp.ndarray | None = None,
 ) -> CheesRun:
     """Adaptive ChEES-HMC on a batch of chains (x0: (C, dim)).
 
@@ -170,7 +184,9 @@ def run_chees(
     runs at the frozen triple with Halton-jittered trajectory lengths.  Set
     ``axis_name`` when the chain axis is sharded under ``shard_map`` — every
     cross-chain reduction then rides one pmean and the adapted scalars stay
-    replicated."""
+    replicated.  ``inv_mass0`` (dim,) seeds the metric — for posteriors with
+    analytically-known anisotropy pass ``models.latent.whitened_inv_mass0``
+    (same contract as ``hmc.run_hmc``)."""
     C, dim = x0.shape
     dtype = x0.dtype
     vg = jax.vmap(jax.value_and_grad(logprob))
@@ -188,21 +204,22 @@ def run_chees(
         log_tau: jnp.ndarray
         adam_m: jnp.ndarray
         adam_v: jnp.ndarray
-        m1: jnp.ndarray
-        m2: jnp.ndarray
+        ema_v: jnp.ndarray
         ema_w: jnp.ndarray
         inv_mass: jnp.ndarray
 
+    inv_mass_init = (
+        jnp.ones((dim,), dtype) if inv_mass0 is None else inv_mass0.astype(dtype)
+    )
     warm0 = Warm(
         st=st0,
         da=da0,
         log_tau=jnp.log(jnp.asarray(init_traj_len, dtype)),
         adam_m=jnp.zeros((), dtype),
         adam_v=jnp.zeros((), dtype),
-        m1=jnp.zeros((dim,), dtype),
-        m2=jnp.zeros((dim,), dtype),
+        ema_v=jnp.zeros((dim,), dtype),
         ema_w=jnp.zeros((), dtype),
-        inv_mass=jnp.ones((dim,), dtype),
+        inv_mass=inv_mass_init,
     )
     # metric updates start after the init buffer: chains are still huddled
     # around x0 before that and the cross-chain variance would collapse the
@@ -219,9 +236,13 @@ def run_chees(
             vg, k_acc, w.st, k_mom, step, w.inv_mass, n_steps, axis_name
         )
         # harmonic-mean acceptance (ChEES paper): punishes stragglers, which
-        # is what keeps the shared step honest across thousands of chains
+        # is what keeps the shared step honest across thousands of chains.
+        # The 0.05 floor bounds a single diverged chain's contribution to
+        # 20× a typical one — with the 1e-4 floor one such chain per
+        # iteration held the dual-averaged step an order of magnitude below
+        # the target-accept step (observed on the torus GPC posterior)
         hmean = 1.0 / jnp.maximum(
-            _pmean(jnp.mean(1.0 / jnp.maximum(ap, 1e-4)), axis_name), 1e-6
+            _pmean(jnp.mean(1.0 / jnp.maximum(ap, 0.05)), axis_name), 1e-6
         )
         da = da_update(w.da, hmean, target_accept)
 
@@ -242,30 +263,54 @@ def run_chees(
             w.da.log_step + jnp.log(jnp.asarray(float(max_steps), dtype)),
         )
 
-        # metric EMA from cross-chain moments (gated until the init buffer)
+        # Metric from a ROBUST cross-chain dispersion: per-coordinate IQR →
+        # variance ((q75−q25)/1.349)², EMA-smoothed and bias-corrected.
+        # Plain cross-chain variance is catastrophically non-robust here: a
+        # few chains stuck at extreme positions during the burn-in transit
+        # inflate it 50× past the equilibrium value, the inflated metric
+        # fires huge jumps along that coordinate, everyone starts rejecting,
+        # and the warmup wedges at a tiny step (measured on the torus GPC
+        # posterior: var estimate 150 vs true 3.2 for log t, final step
+        # 0.002 vs healthy 0.5).  The IQR tracks the BULK of chains, so the
+        # feedback loop never closes.  (Sharded: quartiles are per-shard,
+        # pmean-averaged — exact quantiles need a gather; the shard-mean of
+        # IQRs is an equally robust dispersion estimate.)
         upd = (t >= init_buffer).astype(dtype)
-        m1_new = ema_decay * w.m1 + (1 - ema_decay) * _pmean(
-            jnp.mean(new.x, axis=0), axis_name
-        )
-        m2_new = ema_decay * w.m2 + (1 - ema_decay) * _pmean(
-            jnp.mean(new.x * new.x, axis=0), axis_name
-        )
-        m1 = upd * m1_new + (1 - upd) * w.m1
-        m2 = upd * m2_new + (1 - upd) * w.m2
+        q25, q75 = jnp.percentile(new.x, jnp.asarray([25.0, 75.0]), axis=0)
+        v_rob = _pmean((((q75 - q25) / 1.349) ** 2).astype(dtype), axis_name)
+        ema_v_new = ema_decay * w.ema_v + (1 - ema_decay) * v_rob
+        ema_v = upd * ema_v_new + (1 - upd) * w.ema_v
         # bias-corrected weight: total EMA mass is 1 - decay^k after k updates
         k_upd = w.ema_w + upd
         corr = 1.0 - ema_decay**k_upd
-        var = jnp.maximum(m2 / jnp.maximum(corr, 1e-6) - (m1 / jnp.maximum(corr, 1e-6)) ** 2, 0.0)
+        var = ema_v / jnp.maximum(corr, 1e-6)
         inv_mass = jnp.where(k_upd > 3.0, var + 1e-6, w.inv_mass)
         return (
-            Warm(new, da, log_tau, adam_m, adam_v, m1, m2, k_upd, inv_mass),
+            Warm(new, da, log_tau, adam_m, adam_v, ema_v, k_upd, inv_mass),
             None,
         )
 
+    # Two warmup segments with a dual-averaging RESTART between them: the
+    # averaged iterate exp(log_step_avg) otherwise still carries the early
+    # find-the-scale transient at the end of warmup (measured on the torus
+    # GPC posterior: avg 0.019 vs converged step ~0.5 — same failure the
+    # windowed HMC warmup avoids by re-initializing DA per window,
+    # hmc.windowed_warmup).  Segment 2 restarts DA from the CURRENT step, so
+    # its average only sees post-transient iterations; τ/metric/Adam state
+    # carry straight through.
+    n1 = max(int(0.6 * n_warmup), 1)
+    n2 = max(n_warmup - n1, 1)
+    k_w1, k_w2 = jax.random.split(k_warm)
     warm, _ = jax.lax.scan(
         warm_body,
         warm0,
-        (jnp.arange(n_warmup, dtype=jnp.int32), jax.random.split(k_warm, n_warmup)),
+        (jnp.arange(n1, dtype=jnp.int32), jax.random.split(k_w1, n1)),
+    )
+    warm = warm._replace(da=da_init(jnp.exp(warm.da.log_step)))
+    warm, _ = jax.lax.scan(
+        warm_body,
+        warm,
+        (jnp.arange(n1, n1 + n2, dtype=jnp.int32), jax.random.split(k_w2, n2)),
     )
     step = jnp.exp(warm.da.log_step_avg)
     traj_len = jnp.exp(warm.log_tau)

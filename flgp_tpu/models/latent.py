@@ -88,10 +88,30 @@ def gaussian_loglik(f: jnp.ndarray, Y: jnp.ndarray, noise_var: jnp.ndarray) -> j
     return -0.5 * jnp.sum((Y - f) ** 2 / noise_var + jnp.log(2.0 * jnp.pi * noise_var))
 
 
+def _theta_log_prior(theta, t, p, q, tau, mu0, s0):
+    """Proper prior density in θ = log t: lognormal base N(θ; μ0, s0²)
+    tilted by the reference's penalty (src/train.h:139-140).
+
+    The penalty alone, with the log-t Jacobian, is IMPROPER upward: its
+    θ-density grows like e^{(1−p)θ}, and once t is large enough that the
+    heat kernel washes out (f → 0, likelihood → chance) the posterior runs
+    away to θ = ∞.  Narrow-trajectory samplers never found the runaway
+    (chains sat in the likelihood mode); the wide-exploring ChEES warmup
+    did, within 500 iterations.  The lognormal base makes the target proper
+    and matches the SMC/quadrature hyperposterior EXACTLY
+    (inference.hyperparam: log_prior=_q0_logpdf + tilt=_penalty_tilt), so
+    every tier of the inference stack now describes one posterior."""
+    z = (theta - mu0) / s0
+    base = -0.5 * z * z - jnp.log(s0) - 0.5 * jnp.log(2.0 * jnp.pi)
+    return base + t_log_prior_density(t, p, q, tau)
+
+
 class GpcLogPost(NamedTuple):
     """Joint log posterior of (u, log t) for the heat-kernel GPC.
 
-    Flattened parameter layout: x = [u (K,), log_t (1,)].
+    Flattened parameter layout: x = [u (K,), log_t (1,)].  The t-prior is
+    the proper lognormal-tilted density of :func:`_theta_log_prior` —
+    identical to the SMC/quadrature hyperposterior target.
     """
 
     gp: WhitenedGP
@@ -100,6 +120,8 @@ class GpcLogPost(NamedTuple):
     p: float
     q: float
     tau: float
+    mu0: float = 2.3
+    s0: float = 1.5
 
     @property
     def dim(self) -> int:
@@ -112,15 +134,17 @@ class GpcLogPost(NamedTuple):
         u, t = self.unpack(x)
         f = latent_f(self.gp, u, t)
         lp = log_prior_u(u) + bernoulli_logit_loglik(f, self.Y, self.N)
-        # prior on t plus the log|dt/dlog t| = log t Jacobian
-        lp = lp + t_log_prior_density(t, self.p, self.q, self.tau) + jnp.log(t)
+        lp = lp + _theta_log_prior(x[-1], t, self.p, self.q, self.tau, self.mu0, self.s0)
         return lp
 
 
 class GprLogPost(NamedTuple):
     """Joint log posterior of (u, log t, log noise) for heat-kernel GPR.
 
-    Flattened layout: x = [u (K,), log_t, log_noise]."""
+    Flattened layout: x = [u (K,), log_t, log_noise].  The t-prior is the
+    proper lognormal-tilted density of :func:`_theta_log_prior` (the
+    noise prior is already proper in log-noise: inverse-gamma × Jacobian
+    decays at both ends for α > 0)."""
 
     gp: WhitenedGP
     Y: jnp.ndarray
@@ -129,6 +153,8 @@ class GprLogPost(NamedTuple):
     tau: float
     alpha: float
     beta: float
+    mu0: float = 2.3
+    s0: float = 1.5
 
     @property
     def dim(self) -> int:
@@ -141,7 +167,7 @@ class GprLogPost(NamedTuple):
         u, t, noise = self.unpack(x)
         f = latent_f(self.gp, u, t)
         lp = log_prior_u(u) + gaussian_loglik(f, self.Y, noise + self.gp.sigma)
-        lp = lp + t_log_prior_density(t, self.p, self.q, self.tau) + jnp.log(t)
+        lp = lp + _theta_log_prior(x[-2], t, self.p, self.q, self.tau, self.mu0, self.s0)
         # inverse-gamma-style prior on noise+σ (src/train.cpp:342) + Jacobian
         z = noise + self.gp.sigma
         lp = lp - ((self.alpha + 1.0) * jnp.log(z) + self.beta / z) + jnp.log(noise)
