@@ -90,7 +90,9 @@ def sharded_nuts_fn(
         fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
-        out_specs=NutsRun(P(None, axis), P(None, axis), P(axis), P(axis)),
+        out_specs=NutsRun(
+            P(None, axis), P(None, axis), P(axis), P(axis), P(None, axis)
+        ),
         check_vma=False,
     )
 

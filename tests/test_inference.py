@@ -54,6 +54,28 @@ class TestNuts:
         np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.25)
         np.testing.assert_allclose(draws.std(0), SCALES, rtol=0.3)
 
+    def test_fixed_chunked_driver(self):
+        """Watchdog-bounded multi-dispatch steady-state NUTS (the guard for
+        the round-4 16384-chain worker crash): same kernel, bounded
+        dispatches, healthy moments, and honest leapfrog counts."""
+        from flgp_tpu.inference.nuts import run_nuts_fixed_chunked
+
+        adapt = run_nuts(
+            jax.random.PRNGKey(5), gauss_logprob, jnp.zeros((4, DIM)),
+            n_warmup=200, n_samples=50, max_depth=6,
+        )
+        run = run_nuts_fixed_chunked(
+            jax.random.PRNGKey(6), gauss_logprob, adapt.samples[-1],
+            adapt.step, adapt.inv_mass, n_samples=400, max_depth=6,
+            max_dispatch_seconds=0.5,
+        )
+        assert run.samples.shape == (400, 4, DIM)
+        assert run.n_leapfrog.shape == (400, 4)
+        assert int(jnp.min(run.n_leapfrog)) >= 1
+        draws = np.asarray(run.samples).reshape(-1, DIM)
+        np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.3)
+        np.testing.assert_allclose(draws.std(0), SCALES, rtol=0.3)
+
     def test_correlated_gaussian(self):
         rho = 0.9
         cov = np.array([[1.0, rho], [rho, 1.0]])
