@@ -93,6 +93,33 @@ class TestNuts:
         np.testing.assert_allclose(got, rho, atol=0.1)
 
 
+class TestLogpostPrecision:
+    def test_closure_matches_namedtuple_posterior(self):
+        """logpost_with_precision must evaluate the SAME density as the base
+        (on CPU all precisions are exact, so values match bit-for-bit)."""
+        from flgp_tpu.models.latent import (
+            GpcLogPost, GprLogPost, WhitenedGP, logpost_with_precision,
+        )
+
+        rng = np.random.default_rng(0)
+        m, K = 20, 8
+        gp = WhitenedGP(
+            jnp.asarray(rng.normal(size=(m, K))),
+            jnp.asarray(np.linspace(0, 1, K)),
+            1e-3,
+        )
+        Y = jnp.asarray((rng.uniform(size=m) > 0.5).astype(float))
+        gpc = GpcLogPost(gp, Y, jnp.ones((m,)), 1e-2, 10.0, 2.0)
+        x = jnp.asarray(rng.normal(size=K + 1))
+        fast = logpost_with_precision(gpc, jax.lax.Precision.DEFAULT)
+        assert float(fast(x)) == float(gpc(x))
+
+        gpr = GprLogPost(gp, jnp.asarray(rng.normal(size=m)), 1e-2, 10.0, 2.0, 0.1, 1e-3)
+        xr = jnp.asarray(rng.normal(size=K + 2))
+        fastr = logpost_with_precision(gpr, jax.lax.Precision.DEFAULT)
+        assert float(fastr(xr)) == float(gpr(xr))
+
+
 class TestChees:
     """Cross-chain-adaptive trajectory-length HMC (inference.chees): the
     wide-batch replacement for vmapped NUTS (whose lockstep tree-doubling
