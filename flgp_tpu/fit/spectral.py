@@ -19,7 +19,13 @@ from ..ops.distance import sqdist
 from ..ops.kmeans import SubsampleResult, subsample
 from ..ops.knn import KnnResult, knn
 from ..ops.laplacian import normalize_graph_laplacian
-from ..ops.spectrum import cross_similarity_lae, cross_similarity_se, spectrum_from_Z
+from ..ops.lae import lae_weights
+from ..ops.spectrum import (
+    cross_similarity_lae,
+    cross_similarity_se,
+    spectrum_from_Z,
+    spectrum_fused,
+)
 from ..types import EigenPair, EllMatrix
 
 
@@ -38,13 +44,19 @@ def build_spectrum(
         key, X_all, g.s, g.subsample, g.nstart, g.kmeans_iters
     )
     K = g.resolved_K()
+    # raw ELL graph, then the fused normalize+spectrum tail (Pallas one-hot
+    # kernels on TPU lowerings; exact XLA composition elsewhere — see
+    # ops.spectrum.spectrum_fused)
     if g.kernel == KernelType.LAE:
-        Z = cross_similarity_lae(X_all, sub.centers, g.r, g.gl, sub.counts)
+        idx = knn(X_all, sub.centers, g.r).indices
+        w = lae_weights(X_all, sub.centers, idx)
     elif g.kernel == KernelType.SE:
-        Z = cross_similarity_se(X_all, sub.centers, g.r, g.gl, g.epsilon, sub.counts)
+        res = knn(X_all, sub.centers, g.r)
+        idx = res.indices
+        w = jnp.exp(-res.sqdists / (4.0 * g.epsilon * g.epsilon))
     else:
         raise ValueError(f"unsupported kernel: {g.kernel}")
-    return spectrum_from_Z(Z, K, g.root), sub
+    return spectrum_fused(w, idx, g.s, K, g.gl, g.root, sub.counts), sub
 
 
 class SeGridBasis(NamedTuple):

@@ -298,6 +298,208 @@ def fused_lae(
 
 
 # ---------------------------------------------------------------------------
+# Fused ELL normalization + Gram/colsum kernels (the spectral-stage tail)
+#
+# Why: at n=1e6 the graph tail (colsum scatters + scale passes + the Gram)
+# costs ~200 ms under XLA — TPU scatter-adds run ~18 ns/element (55 ms for
+# one 3e6-element colsum) and the dense-block Gram burns 2.1 TFLOP on
+# mostly-zero matmuls.  These kernels recast every scatter as a one-hot
+# contraction and keep the (s,)/(s, s) accumulators VMEM-resident across a
+# sequential grid, so the whole tail is ONE streaming HBM pass over the
+# 24 MB of compact (n, r) graph data per kernel.
+#
+# The algebraic fusion (exact, just reassociated): with C = colsum(Z),
+# column scale c (1/(C+eps), cluster-scaled, or ones), Z₁ = Z·diag(c),
+# R = rowsum(Z₁), Zₙ = diag(1/(R+eps))·Z₁, D = colsum(Zₙ) and
+# A = Zₙ·diag(1/√(|D|+eps)):
+#
+#     AᵀA = diag(dinv)·(ZₙᵀZₙ)·diag(dinv)
+#
+# so one pass yields BOTH Ĝ = ZₙᵀZₙ and D, and the spectrum's A-scaling
+# becomes a free (s, s) elementwise epilogue.
+# ---------------------------------------------------------------------------
+
+
+def _ell_colsum_kernel(vals_ref, idx_ref, out_ref, *, r: int):
+    """Column sums of an ELL matrix: one-hot rows contracted on the MXU,
+    accumulated into a VMEM-resident (1, s) output across the grid."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    s = out_ref.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (idx_ref.shape[0], s), 1)
+    acc = jnp.zeros((1, s), jnp.float32)
+    for k in range(r):
+        onehot = (idx_ref[:, k][:, None] == col_ids).astype(jnp.float32)
+        acc = acc + jnp.dot(
+            vals_ref[:, k][None, :], onehot, preferred_element_type=jnp.float32
+        )
+    out_ref[:] += acc.astype(out_ref.dtype)
+
+
+def ell_colsum(values: jnp.ndarray, indices: jnp.ndarray, s: int,
+               block: int = 1024, interpret: bool = False) -> jnp.ndarray:
+    """(n, r)-ELL column sums on TPU; scatter-add fallback elsewhere."""
+    n, r = values.shape
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+        return jnp.zeros((s,), values.dtype).at[indices.reshape(-1)].add(
+            values.reshape(-1)
+        )
+    pad = (-n) % block
+    vp = jnp.pad(values, ((0, pad), (0, 0))) if pad else values
+    ip = jnp.pad(indices, ((0, pad), (0, 0))) if pad else indices
+    out = pl.pallas_call(
+        functools.partial(_ell_colsum_kernel, r=r),
+        grid=(vp.shape[0] // block,),
+        in_specs=[
+            pl.BlockSpec((block, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, s), values.dtype),
+        interpret=interpret,
+    )(vp, ip)
+    return out[0]
+
+
+def _ell_norm_gram_kernel(vals_ref, idx_ref, cscale_ref, gram_ref, d_ref,
+                          *, r: int, eps: float):
+    """Per block: normalize inline (column scale gathered by one-hot matvec,
+    then row-normalize), densify via one-hot selects, and accumulate BOTH
+    Ĝ += denseᵀ·dense (MXU) and D += Σ_rows dense (VPU) in VMEM."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+        d_ref[:] = jnp.zeros_like(d_ref)
+
+    s = gram_ref.shape[0]
+    B = vals_ref.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, s), 1)
+    onehots = [
+        (idx_ref[:, k][:, None] == col_ids).astype(jnp.float32) for k in range(r)
+    ]
+    cs = cscale_ref[:]                                     # (1, s)
+    w1 = []
+    rs = None
+    for k in range(r):
+        cg = jnp.dot(onehots[k], cs[0][:, None], preferred_element_type=jnp.float32)
+        w1k = vals_ref[:, k][:, None] * cg                 # (B, 1)
+        w1.append(w1k)
+        rs = w1k if rs is None else rs + w1k
+    rinv = 1.0 / (rs + eps)
+    dense = None
+    for k in range(r):
+        contrib = onehots[k] * (w1[k] * rinv)
+        dense = contrib if dense is None else dense + contrib
+    d_ref[:] += jnp.sum(dense, axis=0, keepdims=True).astype(d_ref.dtype)
+    gram_ref[:] += jnp.dot(
+        dense.T, dense, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(gram_ref.dtype)
+
+
+def ell_norm_gram(values: jnp.ndarray, indices: jnp.ndarray,
+                  cscale: jnp.ndarray, block: int = 512,
+                  interpret: bool = False, eps: float = 1e-9):
+    """Fused normalize+Gram: returns (Ĝ = ZₙᵀZₙ (s, s), D = colsum(Zₙ) (s,))
+    for Zₙ = rownorm(Z·diag(cscale)).  One HBM pass on TPU; exact EllMatrix
+    composition as the fallback elsewhere."""
+    n, r = values.shape
+    s = cscale.shape[0]
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+        from ..types import EllMatrix
+
+        Z = EllMatrix(values, indices, s).scale_cols(cscale)
+        Zn = Z.scale_rows(1.0 / (Z.rowsum() + eps))
+        return Zn.gram(), Zn.colsum()
+    pad = (-n) % block
+    vp = jnp.pad(values, ((0, pad), (0, 0))) if pad else values
+    ip = jnp.pad(indices, ((0, pad), (0, 0))) if pad else indices
+    G, D = pl.pallas_call(
+        functools.partial(_ell_norm_gram_kernel, r=r, eps=eps),
+        grid=(vp.shape[0] // block,),
+        in_specs=[
+            pl.BlockSpec((block, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, s), values.dtype),
+            jax.ShapeDtypeStruct((1, s), values.dtype),
+        ],
+        interpret=interpret,
+    )(vp, ip, cscale[None, :])
+    return G, D[0]
+
+
+def _ell_norm_matmat_kernel(vals_ref, idx_ref, cscale_ref, w_ref, out_ref,
+                            *, r: int, eps: float):
+    """Zₙ @ W with the normalization recomputed inline (same one-hot algebra
+    as the Gram kernel) — the eigenvector extension never materializes Zₙ."""
+    s = w_ref.shape[0]
+    B = vals_ref.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, s), 1)
+    cs = cscale_ref[:]
+    w = w_ref[:]
+    onehots = [
+        (idx_ref[:, k][:, None] == col_ids).astype(jnp.float32) for k in range(r)
+    ]
+    w1 = []
+    rs = None
+    for k in range(r):
+        cg = jnp.dot(onehots[k], cs[0][:, None], preferred_element_type=jnp.float32)
+        w1k = vals_ref[:, k][:, None] * cg
+        w1.append(w1k)
+        rs = w1k if rs is None else rs + w1k
+    rinv = 1.0 / (rs + eps)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(r):
+        gath = jnp.dot(onehots[k], w, preferred_element_type=jnp.float32)
+        acc = acc + (w1[k] * rinv) * gath
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def ell_norm_matmat(values: jnp.ndarray, indices: jnp.ndarray,
+                    cscale: jnp.ndarray, W: jnp.ndarray, block: int = 1024,
+                    interpret: bool = False, eps: float = 1e-9) -> jnp.ndarray:
+    """rownorm(Z·diag(cscale)) @ W on TPU; EllMatrix fallback elsewhere."""
+    n, r = values.shape
+    s, K = W.shape
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+        from ..types import EllMatrix
+
+        Z = EllMatrix(values, indices, s).scale_cols(cscale)
+        Zn = Z.scale_rows(1.0 / (Z.rowsum() + eps))
+        return Zn.matmat(W)
+    pad = (-n) % block
+    vp = jnp.pad(values, ((0, pad), (0, 0))) if pad else values
+    ip = jnp.pad(indices, ((0, pad), (0, 0))) if pad else indices
+    out = pl.pallas_call(
+        functools.partial(_ell_norm_matmat_kernel, r=r, eps=eps),
+        grid=(vp.shape[0] // block,),
+        in_specs=[
+            pl.BlockSpec((block, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((vp.shape[0], K), W.dtype),
+        interpret=interpret,
+    )(vp, ip, cscale[None, :], W)
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
 # ELL matmat: Z @ W with streamed row blocks
 # ---------------------------------------------------------------------------
 

@@ -76,3 +76,101 @@ class TestEllMatmat:
         got = pk.ell_matmat(vals, idx, W, block=32, interpret=True)
         ref = jnp.einsum("nr,nrk->nk", vals, W[idx])
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(not pk._HAVE_PALLAS, reason="pallas unavailable")
+class TestFusedNormalizeSpectrumTail:
+    """Round-5 kernels: the graph tail (colsum / normalize+Gram / extension)
+    as streaming one-hot contractions vs the exact EllMatrix composition."""
+
+    def _graph(self, rng, n=450, d=3, s=48, r=3):
+        X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        U = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        res = knn(X, U, r)
+        w = jnp.asarray(rng.uniform(0.1, 1.0, size=(n, r)), jnp.float32)
+        return w, res.indices, s
+
+    def test_ell_colsum(self, rng):
+        w, idx, s = self._graph(rng)
+        got = pk.ell_colsum(w, idx, s, block=128, interpret=True)
+        ref = jnp.zeros((s,), w.dtype).at[idx.reshape(-1)].add(w.reshape(-1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
+
+    def test_ell_norm_gram_matches_composition(self, rng):
+        from flgp_tpu.types import EllMatrix
+
+        w, idx, s = self._graph(rng)
+        cs = jnp.asarray(rng.uniform(0.5, 2.0, size=(s,)), jnp.float32)
+        G, D = pk.ell_norm_gram(w, idx, cs, block=128, interpret=True)
+        Z = EllMatrix(w, idx, s).scale_cols(cs)
+        Zn = Z.scale_rows(1.0 / (Z.rowsum() + 1e-9))
+        np.testing.assert_allclose(np.asarray(G), np.asarray(Zn.gram()), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(D), np.asarray(Zn.colsum()), atol=2e-5)
+
+    def test_ell_norm_matmat_matches_composition(self, rng):
+        from flgp_tpu.types import EllMatrix
+
+        w, idx, s = self._graph(rng)
+        cs = jnp.asarray(rng.uniform(0.5, 2.0, size=(s,)), jnp.float32)
+        W = jnp.asarray(rng.normal(size=(s, 8)), jnp.float32)
+        got = pk.ell_norm_matmat(w, idx, cs, W, block=128, interpret=True)
+        Z = EllMatrix(w, idx, s).scale_cols(cs)
+        Zn = Z.scale_rows(1.0 / (Z.rowsum() + 1e-9))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(Zn.matmat(W)), atol=2e-5)
+
+    @pytest.mark.parametrize("gl", ["rw", "normalized", "cluster-normalized"])
+    def test_spectrum_fused_fallback_equals_composition(self, rng, gl):
+        """The non-TPU branch of spectrum_fused must BE the composition —
+        bit-for-bit (this is the path the f64 golden gates run through)."""
+        from flgp_tpu.config import LaplacianType
+        from flgp_tpu.ops.laplacian import normalize_graph_laplacian
+        from flgp_tpu.ops.spectrum import spectrum_from_Z, spectrum_fused
+        from flgp_tpu.types import EllMatrix
+
+        n, d, s, r, K = 300, 3, 32, 3, 8
+        X = jnp.asarray(rng.normal(size=(n, d)))
+        U = jnp.asarray(rng.normal(size=(s, d)))
+        res = knn(X, U, r)
+        w = jnp.asarray(rng.uniform(0.1, 1.0, size=(n, r)))
+        counts = jnp.asarray(rng.integers(1, 20, size=(s,)).astype(np.float64))
+        glt = LaplacianType(gl)
+        got = spectrum_fused(w, res.indices, s, K, glt, True, counts)
+        Z = normalize_graph_laplacian(EllMatrix(w, res.indices, s), glt, counts)
+        ref = spectrum_from_Z(Z, K, True)
+        np.testing.assert_array_equal(np.asarray(got.values), np.asarray(ref.values))
+        np.testing.assert_array_equal(np.asarray(got.vectors), np.asarray(ref.vectors))
+
+    def test_fused_tpu_branch_matches_composition_interpret(self, rng):
+        """The TPU branch's reassociated algebra (AᵀA = dinv·Ĝ·dinv, folded
+        extension) vs the composition, kernels in interpret mode."""
+        from flgp_tpu.config import EPS, LaplacianType
+        from flgp_tpu.ops.laplacian import normalize_graph_laplacian
+        from flgp_tpu.ops.spectrum import spectrum_from_Z
+        from flgp_tpu.types import EllMatrix
+
+        n, d, s, r, K = 400, 3, 40, 3, 8
+        X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        U = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        res = knn(X, U, r)
+        w = jnp.asarray(rng.uniform(0.1, 1.0, size=(n, r)), jnp.float32)
+
+        C = pk.ell_colsum(w, res.indices, s, block=128, interpret=True)
+        cscale = 1.0 / (C + EPS)
+        Ghat, D = pk.ell_norm_gram(w, res.indices, cscale, block=128, interpret=True)
+        dinv = 1.0 / jnp.sqrt(jnp.abs(D) + EPS)
+        G = Ghat * dinv[:, None] * dinv[None, :]
+        wv, V = jnp.linalg.eigh(G)
+        wv = wv[::-1][:K]
+        V = V[:, ::-1][:, :K]
+        sigma = jnp.sqrt(jnp.maximum(wv, 0.0))
+        W_eff = dinv[:, None] * V * (jnp.sqrt(jnp.float32(n)) / (sigma + EPS))[None, :]
+        vecs = pk.ell_norm_matmat(w, res.indices, cscale, W_eff, block=128, interpret=True)
+
+        Z = normalize_graph_laplacian(
+            EllMatrix(w, res.indices, s), LaplacianType.NORMALIZED, None
+        )
+        ref = spectrum_from_Z(Z, K, True)
+        np.testing.assert_allclose(np.asarray(sigma), np.asarray(ref.values), atol=1e-5)
+        Vr, Vg = np.asarray(ref.vectors), np.asarray(vecs)
+        signs = np.sign(np.sum(Vr * Vg, axis=0))
+        np.testing.assert_allclose(Vg * signs, Vr, atol=5e-3)
