@@ -244,7 +244,7 @@ def bench_sampling(report: MetricsReport, torus_eig):
 
 def bench_sampling_saturation(report: MetricsReport, torus_eig):
     """Chip-saturation sweep for the north-star sampler: chains ∈
-    {16 … 4096} × K ∈ {100, 256} on the torus GPC posterior, steady-state
+    {16 … 16384} × K ∈ {100, 256} on the torus GPC posterior, steady-state
     HMC (run_hmc_fixed with metrics adapted once on 16 chains and tiled —
     chains are exchangeable).  Reports ESS/sec/chip and leapfrog throughput
     at each point, the plateau, and MEASURED GFLOP/s: XLA's cost analysis of
@@ -253,10 +253,19 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
     times the known gradient-evaluation count — an XLA-counted cross-check
     of the 8·m·K hand model.
 
-    ESS at C > 256 chains is computed on a 256-chain subset and scaled by
-    C/256 — valid because chains are iid (same kernel, independent keys);
-    computing the Geyer estimator over all 4096 chains on the 2-core host
-    would dominate the bench wall-clock without changing the estimate.
+    Estimator hygiene (round-5, VERDICT r4 #9): the timed dispatch starts
+    from the WARM dispatch's final states — the warm run doubles as an
+    untimed decorrelation segment, so the 256-chain ESS subset no longer
+    contains replicas of the 16 adapted states — and n_samp is fixed at 256
+    across the whole sweep.  ESS at C > 256 chains is computed on a
+    256-chain subset and scaled by C/256 (chains are iid: same kernel,
+    independent keys; the estimator note rides in the JSON as
+    ``ess_estimator``).
+
+    NOTE (round 5): the GPC posterior now carries the PROPER lognormal
+    t-prior (models/latent.py) — the improper penalty-only prior ran away
+    to θ=∞ once wide-trajectory samplers explored past the likelihood mode
+    — so sampling numbers are not directly comparable to rounds ≤4.
     """
     from flgp_tpu.datasets import torus_rings_r
     from flgp_tpu.fit.spectral import build_spectrum
@@ -272,7 +281,13 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
         [jnp.asarray(tor.x_train, jnp.float32), jnp.asarray(tor.x_test, jnp.float32)]
     )
     n_leap = 16
-    out = {}
+    out = {
+        "ess_estimator": (
+            "min-ESS over a 256-chain subset x C/256 (iid chains); timed "
+            "dispatch starts from the warm dispatch's final states "
+            "(decorrelated); n_samp=256 at every sweep point"
+        )
+    }
     best_ess_rate, best_cfg = 0.0, None
 
     for K in (100, 256):
@@ -303,7 +318,7 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
                 stepC = jnp.tile(arun.step, reps)
                 imC = jnp.tile(arun.inv_mass, (reps, 1))
                 x0C = jnp.tile(arun.samples[-1], (reps, 1))
-                n_samp = 512 if C <= 256 else 256
+                n_samp = 256
                 _mark(f"saturation: K={K} C={C}")
                 fit = jax.jit(
                     lambda k, x, s=stepC, im=imC, ns=n_samp: run_hmc_fixed(
@@ -312,11 +327,15 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
                 )
                 compiled = fit.lower(jax.random.PRNGKey(3), x0C).compile()
                 warm = compiled(jax.random.PRNGKey(3), x0C)
-                _fetch(warm.samples[:1, :1])
+                # the warm dispatch doubles as the decorrelation segment:
+                # its final states seed the timed run (also a distinct arg,
+                # defeating remote-dispatch memoization)
+                x1C = warm.samples[-1]  # its own buffer (slice dispatch)
+                _fetch(x1C)
                 jax.tree_util.tree_map(lambda a: a.delete(), warm)
                 with report.stage(f"sat_hmc_K{K}_C{C}") as slot:
                     t0 = time.perf_counter()
-                    run = compiled(jax.random.PRNGKey(4), x0C)
+                    run = compiled(jax.random.PRNGKey(4), x1C)
                     _fetch(run.samples[-1:, -1:])
                     dt = time.perf_counter() - t0
                     slot["wall"] = dt
@@ -348,10 +367,17 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
 
     # NUTS-fixed sweep at K=100.  Batched NUTS terminates trees in lockstep
     # (a vmapped while_loop runs every chain to the slowest chain's depth),
-    # so unlike HMC its ESS/sec DEGRADES past ~1024 chains (measured: 84k at
-    # 1024, 31k at 4096) — wide-batch sampling wants fixed-trajectory HMC.
-    # Capped at 4096: a 16384-chain NUTS program crashed the TPU worker.
-    from flgp_tpu.inference.nuts import run_nuts, run_nuts_fixed
+    # so unlike HMC its ESS/sec DEGRADES at wide batch — wide-batch sampling
+    # wants fixed-shape trajectories (HMC, or adaptively: ChEES).
+    #
+    # Round-4's 16384-chain point CRASHED THE TPU WORKER; root cause
+    # (round 5): the single monolithic dispatch's sequential lockstep
+    # leapfrog count × per-step wall exceeded the remote executor's
+    # ~60 s watchdog, which kills the worker process (memory was never the
+    # resource: 2.8 GB at that shape).  The sweep now runs through
+    # run_nuts_fixed_chunked, which bounds every dispatch's WORST-CASE wall
+    # at 20 s — so 16384 chains is reachable and the crash is not.
+    from flgp_tpu.inference.nuts import run_nuts, run_nuts_fixed_chunked
 
     K = 100
     gp = make_whitened(torus_eig, jnp.arange(m), K, 1e-3)
@@ -362,40 +388,189 @@ def bench_sampling_saturation(report: MetricsReport, torus_eig):
     nrun = nadapt(jax.random.PRNGKey(12), x0)
     _fetch(nrun.samples)
     best_nuts = 0.0
-    for C in (256, 1024, 4096):
+    for C in (256, 1024, 4096, 16384):
         try:
             reps = C // 16
             stepC = jnp.tile(nrun.step, reps)
             imC = jnp.tile(nrun.inv_mass, (reps, 1))
             x0C = jnp.tile(nrun.samples[-1], (reps, 1))
             n_samp = 256
-            _mark(f"saturation: NUTS C={C}")
-            fit = jax.jit(
-                lambda k, x, s=stepC, im=imC: run_nuts_fixed(
-                    k, logpost, x, s, im, n_samples=n_samp, max_depth=8
-                )
-            )
-            compiled = fit.lower(jax.random.PRNGKey(13), x0C).compile()
-            warm = compiled(jax.random.PRNGKey(13), x0C)
-            _fetch(warm.samples[:1, :1])
-            jax.tree_util.tree_map(lambda a: a.delete(), warm)
+            _mark(f"saturation: NUTS C={C} (chunked dispatches)")
             with report.stage(f"sat_nuts_K{K}_C{C}") as slot:
                 t0 = time.perf_counter()
-                run = compiled(jax.random.PRNGKey(14), x0C)
+                run = run_nuts_fixed_chunked(
+                    jax.random.PRNGKey(14), logpost, x0C, stepC, imC,
+                    n_samples=n_samp, max_depth=8, max_dispatch_seconds=20.0,
+                )
                 _fetch(run.samples[-1:, -1:])
                 dt = time.perf_counter() - t0
                 slot["wall"] = dt
             sub = min(C, 256)
             es = ess(np.asarray(run.samples[:, :sub], np.float64))
+            grads = float(jnp.sum(run.n_leapfrog))
             jax.tree_util.tree_map(lambda a: a.delete(), run)
             ess_total = float(np.min(es)) * (C / sub)
             out[f"sat_nuts_K{K}_C{C}_min_ess_per_sec"] = ess_total / dt
+            out[f"sat_nuts_K{K}_C{C}_ess_per_grad"] = ess_total / grads
             if np.isfinite(ess_total):
                 best_nuts = max(best_nuts, ess_total / dt)
         except Exception as e:  # noqa: BLE001 — keep earlier sweep points
             _mark(f"saturation NUTS C={C} FAILED: {type(e).__name__}: {e}")
             out[f"sat_nuts_K{K}_C{C}_error"] = f"{type(e).__name__}: {e}"[:200]
     out["gpc_nuts_ess_per_sec_per_chip_saturated"] = best_nuts
+    return out
+
+
+def bench_sampling_chees(report: MetricsReport, torus_eig):
+    """The round-5 headline: ChEES-HMC — ADAPTIVE trajectory lengths at
+    fixed batch shape — on the torus GPC posterior (VERDICT r4 #1).
+
+    Closes the HMC/NUTS wide-batch split: vmapped NUTS collapses past ~1024
+    chains (lockstep tree doubling), fixed HMC leaves trajectory quality on
+    the table.  ChEES adapts (ε, τ, M⁻¹) from CROSS-chain statistics during
+    one moderate-batch warmup, then the frozen triple drives any chain
+    count with one batch-uniform jittered trajectory per iteration.
+
+    Reported: saturated min-ESS/s at C ∈ {1024, 16384} (target from the
+    verdict: ≥ 500k at 16384), the bf16-multiply variant
+    (logpost_with_precision DEFAULT: single-pass bf16 multiplies, f32
+    accumulation) with statistical gates against the f32 run, and the
+    narrow-batch sanity gate: ESS-per-gradient at C=16 vs NUTS on the same
+    posterior.  Roofline context (round-5 probe, K=100): the batched
+    gradient runs 6.0/7.1/8.5 TFLOP/s XLA-counted at f32x6/bf16x3/bf16x1
+    matmul passes — only 1.4× across a 6× multiply-cost ratio, so this
+    program size is bound by (C, dim)-state elementwise/HBM traffic and RNG,
+    not the MXU; bf16 is worth 1.2× end-to-end, not 6×.
+    """
+    from flgp_tpu.datasets import torus_rings_r
+    from flgp_tpu.inference.chees import run_chees, run_chees_fixed
+    from flgp_tpu.inference.diagnostics import ess
+    from flgp_tpu.inference.nuts import run_nuts, run_nuts_fixed_chunked
+    from flgp_tpu.models.latent import GpcLogPost, logpost_with_precision, make_whitened
+
+    tor = torus_rings_r()
+    K = 100
+    m = tor.x_train.shape[0]
+    gp = make_whitened(torus_eig, jnp.arange(m), K, 1e-3)
+    logpost = GpcLogPost(
+        gp, jnp.asarray(tor.y_train, jnp.float32), jnp.ones((m,), jnp.float32),
+        1e-2, 10.0, 2.0,
+    )
+    out = {}
+
+    _mark("chees: cross-chain adapt (C=128)")
+    C0 = 128
+    x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (C0, K + 1), jnp.float32)
+    adapt = jax.jit(
+        lambda k, x: run_chees(k, logpost, x, n_warmup=512, n_samples=64, max_steps=256)
+    )
+    with report.stage("chees_adapt") as slot:
+        t0 = time.perf_counter()
+        arun = adapt(jax.random.PRNGKey(2), x0)
+        _fetch(arun.samples)
+        slot["wall"] = time.perf_counter() - t0
+    out["chees_step"] = float(arun.step)
+    out["chees_traj_len"] = float(arun.traj_len)
+    out["chees_adapt_accept"] = float(jnp.mean(arun.accept_prob))
+
+    n_samp = 256
+    variants = {
+        "f32": logpost,
+        "bf16": logpost_with_precision(logpost, jax.lax.Precision.DEFAULT),
+    }
+    stats = {}
+    for C in (1024, 16384):
+        for vname, lp in variants.items():
+            if C != 16384 and vname == "bf16":
+                continue
+            try:
+                reps = C // C0
+                x0C = jnp.tile(arun.samples[-1], (reps, 1))
+                _mark(f"chees: C={C} {vname}")
+                fit = jax.jit(
+                    lambda k, x, lp=lp: run_chees_fixed(
+                        k, lp, x, arun.step, arun.traj_len, arun.inv_mass,
+                        n_samples=n_samp, max_steps=256,
+                    )
+                )
+                compiled = fit.lower(jax.random.PRNGKey(3), x0C).compile()
+                warm = compiled(jax.random.PRNGKey(3), x0C)
+                x1C = warm.samples[-1]
+                _fetch(x1C)
+                jax.tree_util.tree_map(lambda a: a.delete(), warm)
+                with report.stage(f"sat_chees_C{C}_{vname}") as slot:
+                    t0 = time.perf_counter()
+                    run = compiled(jax.random.PRNGKey(4), x1C)
+                    _fetch(run.samples[-1:, -1:])
+                    dt = time.perf_counter() - t0
+                    slot["wall"] = dt
+                sub = min(C, 256)
+                S = np.asarray(run.samples[:, :sub], np.float64)
+                nleap = int(run.n_leapfrog_total)
+                jax.tree_util.tree_map(lambda a: a.delete(), run)
+                es = ess(S)
+                ess_total = float(np.min(es)) * (C / sub)
+                key = f"sat_chees_C{C}" + ("" if vname == "f32" else "_bf16")
+                out[f"{key}_min_ess_per_sec"] = ess_total / dt
+                out[f"{key}_leap_per_draw"] = nleap / n_samp
+                out[f"{key}_leap_steps_per_sec"] = C * nleap / dt
+                stats[(C, vname)] = dict(
+                    mean=S.reshape(-1, K + 1).mean(0), sd=S.reshape(-1, K + 1).std(0),
+                    rate=ess_total / dt, wall=dt,
+                )
+            except Exception as e:  # noqa: BLE001 — keep earlier points
+                _mark(f"chees C={C} {vname} FAILED: {type(e).__name__}: {e}")
+                out[f"sat_chees_C{C}_{vname}_error"] = f"{type(e).__name__}: {e}"[:200]
+    if (16384, "f32") in stats:
+        out["gpc_chees_ess_per_sec_per_chip_saturated"] = stats[(16384, "f32")]["rate"]
+    if (16384, "f32") in stats and (16384, "bf16") in stats:
+        f32s, b16s = stats[(16384, "f32")], stats[(16384, "bf16")]
+        # gates: sd ratio within 5%, mean shift within 0.1 posterior sd —
+        # two independent finite runs of the SAME sampler differ at this
+        # order, and the MC error at ~2M total ESS is far below it
+        out["chees_bf16_sd_ratio_worst"] = float(
+            np.max(np.abs(b16s["sd"] / f32s["sd"] - 1.0))
+        )
+        out["chees_bf16_mean_shift_sd_max"] = float(
+            np.max(np.abs(b16s["mean"] - f32s["mean"]) / f32s["sd"])
+        )
+        out["chees_bf16_speedup"] = f32s["wall"] / b16s["wall"]
+
+    # narrow-batch sanity gate: ESS-per-gradient at C=16 vs NUTS
+    _mark("chees: C=16 ESS/grad vs NUTS")
+    x16 = jnp.tile(arun.samples[-1][:16], (1, 1))
+    cfit = jax.jit(
+        lambda k, x: run_chees_fixed(
+            k, logpost, x, arun.step, arun.traj_len, arun.inv_mass,
+            n_samples=512, max_steps=256,
+        )
+    )
+    crun = cfit(jax.random.PRNGKey(7), x16)
+    _fetch(crun.samples)
+    ces = ess(np.asarray(crun.samples, np.float64))
+    chees_epg = float(np.min(ces)) / (int(crun.n_leapfrog_total) * 16)
+    out["chees_c16_ess_per_grad"] = chees_epg
+
+    nadapt = jax.jit(
+        lambda k, x: run_nuts(k, logpost, x, n_warmup=256, n_samples=32, max_depth=8)
+    )
+    nrun = nadapt(jax.random.PRNGKey(8), x16)
+    _fetch(nrun.samples)
+    nfix = run_nuts_fixed_chunked(
+        jax.random.PRNGKey(9), logpost, nrun.samples[-1], nrun.step, nrun.inv_mass,
+        n_samples=512, max_depth=8, max_dispatch_seconds=20.0,
+    )
+    nes = ess(np.asarray(nfix.samples, np.float64))
+    nuts_epg = float(np.min(nes)) / float(jnp.sum(nfix.n_leapfrog))
+    out["nuts_c16_ess_per_grad"] = nuts_epg
+    out["chees_vs_nuts_ess_per_grad_ratio"] = chees_epg / max(nuts_epg, 1e-12)
+    out["sampler_roofline_note"] = (
+        "batched-gradient precision scan at C=16384/K=100 (512-eval scan, "
+        "XLA-counted): 6.0/7.1/8.5 TFLOP/s at f32x6/bf16x3/bf16x1 matmul "
+        "passes - 1.4x across a 6x multiply-cost ratio, so the saturated "
+        "sampler is bound by (C,dim)-state elementwise/HBM traffic and RNG, "
+        "not the MXU; bf16 multiplies buy ~1.2x end-to-end (gated above)"
+    )
     return out
 
 
@@ -450,6 +625,34 @@ def bench_svi(report: MetricsReport, torus_eig):
     out["svi_mean_err_sd_units_avg"] = float(np.mean(np.abs(mu_q - mu_ref) / sd_ref))
     out["svi_sd_ratio_median"] = float(np.median(sd_q / sd_ref))
     out["svi_speedup_vs_nuts_wall"] = nuts_s / svi_s
+
+    # low-rank-plus-diag family (rank 5): the upgrade tier for correlated
+    # posteriors the mean-field family zeroes (inference/svi.py docstring)
+    from flgp_tpu.inference.svi import fit_svi_lowrank
+
+    _mark("svi: low-rank fit")
+    # 16k steps (vs mean-field's 8k): the factor adds dim·rank parameters
+    # whose gradient signal is weak on this near-independent posterior, and
+    # at 8k steps the mean was still in transit (measured 1.28 sd max err)
+    svi_lr = jax.jit(
+        lambda k: fit_svi_lowrank(k, logpost, dim, rank=5, steps=16000, n_mc=8, lr=0.02)
+    )
+    _fetch(svi_lr(jax.random.PRNGKey(25)).elbo_trace)
+    with report.stage("svi_lowrank_fit") as slot:
+        t0 = time.perf_counter()
+        lres = svi_lr(jax.random.PRNGKey(26))
+        _fetch(lres.elbo_trace)
+        svi_lr_s = time.perf_counter() - t0
+        slot["wall"] = svi_lr_s
+    out["svi_lowrank_fit_s"] = svi_lr_s
+    out["svi_lowrank_elbo_final"] = float(jnp.mean(lres.elbo_trace[-50:]))
+    out["svi_lowrank_elbo_gain_vs_meanfield"] = (
+        out["svi_lowrank_elbo_final"] - out["svi_elbo_final"]
+    )
+    mu_l = np.asarray(lres.posterior.mu, np.float64)
+    sd_l = np.sqrt(np.asarray(jnp.diagonal(lres.posterior.covariance()), np.float64))
+    out["svi_lowrank_mean_err_sd_units_max"] = float(np.max(np.abs(mu_l - mu_ref) / sd_ref))
+    out["svi_lowrank_sd_ratio_median"] = float(np.median(sd_l / sd_ref))
     return out
 
 
@@ -478,37 +681,41 @@ def bench_multiclass_smc(report: MetricsReport):
     out["mult_n7e4_fit_s"] = dt
     out["mult_n7e4_err"] = float(np.mean(res.y_test != ds.y_test))
 
-    _mark("multiclass: SMC over per-class t")
+    _mark("multiclass: SMC over per-class t (VALIDATED 64/5 budget, chunked)")
     X_all = jnp.concatenate(
         [jnp.asarray(ds.x_train, jnp.float32), jnp.asarray(ds.x_test, jnp.float32)]
     )
     eig, _ = build_spectrum(key, X_all, cfg.graph)
     aug_y = one_hot_labels(jnp.asarray(ds.y_train, jnp.float32), 10)
     idx = jnp.arange(ds.x_train.shape[0])
-    # 32 particles, capped Newton/mutation budgets: the full-budget program
-    # is petaFLOP-scale and trips the remote worker's execution watchdog
-    smc_fn = jax.jit(
-        lambda k: mult_t_posterior(
+    # Round ≤4 ran a watchdog-capped 32-particle/3-mutation budget in one
+    # dispatch (→ 1.47-sd worst-class error); the tempering ladder now
+    # splits across host dispatches of ≤2 stages each (run_smc_chunked —
+    # the tiny SMC state carries over), so the VALIDATED 64/5 budget the
+    # CPU test gates at ≤1 sd runs on-chip without tripping the executor
+    # watchdog.  Not jitted at this level: the host loop owns re-dispatch.
+    def run_smc_budget(k):
+        return mult_t_posterior(
             k, eig, aug_y, idx, 100, 1e-3,
-            n_particles=32, n_mutation_steps=3, newton_max_iter=25,
+            n_particles=64, n_mutation_steps=5, newton_max_iter=25,
+            stages_per_dispatch=2,
         )
-    )
-    _fetch(smc_fn(jax.random.PRNGKey(6)).t_mean)
+
+    _fetch(run_smc_budget(jax.random.PRNGKey(6)).t_mean)
     with report.stage("mult_smc"):
         t0 = time.perf_counter()
-        post = smc_fn(jax.random.PRNGKey(7))
+        post = run_smc_budget(jax.random.PRNGKey(7))
         _fetch(post.t_mean)
         smc_s = time.perf_counter() - t0
     out["mult_smc_s"] = smc_s
+    out["mult_smc_budget"] = "64 particles / 5 mutations, <=2 stages per dispatch"
+    out["mult_smc_n_stages"] = int(post.smc.n_stages)
     out["mult_smc_t_mean"] = float(jnp.mean(post.t_mean))
     out["mult_smc_t_sd"] = float(jnp.mean(post.t_sd))
 
-    # statistical validation: the target is 1-D per class, so trapezoid
-    # quadrature over log t is exact ground truth for the SMC moments.
-    # NOTE the bench SMC runs the watchdog-capped 32-particle/3-mutation
-    # budget, so ~1.5-sd worst-class error is expected here; the VALIDATED
-    # budget (64/5 → ≤1 sd per class, 0.28 sd at 128/8) is gated in
-    # tests/test_end_to_end.py::TestDigits::test_smc_t_posterior_matches_quadrature
+    # statistical validation: the target is 1-D per class, so quadrature
+    # over log t is exact ground truth for the SMC moments (two-pass
+    # refined grid — inference.hyperparam.mult_t_quadrature).
     _mark("multiclass: t-posterior quadrature check")
     from flgp_tpu.inference.hyperparam import mult_t_quadrature
 
@@ -517,6 +724,7 @@ def bench_multiclass_smc(report: MetricsReport):
     )()
     _fetch(quad.t_mean)
     qerr = jnp.abs(post.t_mean - quad.t_mean) / quad.t_sd
+    out["mult_t_quad_coarse_max_weight"] = float(quad.coarse_max_weight)
     out["mult_t_quad_mean"] = float(jnp.mean(quad.t_mean))
     out["mult_smc_t_mean_quad_err"] = float(jnp.mean(qerr))
     out["mult_smc_t_mean_quad_err_max"] = float(jnp.max(qerr))
@@ -640,23 +848,24 @@ def bench_scaling_subprocess():
 def bench_spectral_1e6(report: MetricsReport):
     """North-star scale metric: full spectral stage (minibatch-kmeans
     subsampling included) at n=1e6, single chip."""
+    from flgp_tpu.config import EPS as _EPS
     from flgp_tpu.config import LaplacianType, Subsample
     from flgp_tpu.ops.kmeans import subsample
     from flgp_tpu.ops.knn import knn as _knn
     from flgp_tpu.ops.lae import lae_weights as _lae
-    from flgp_tpu.ops.laplacian import normalize_graph_laplacian as _norm
-    from flgp_tpu.ops.spectrum import spectrum_from_Z as _spec
-    from flgp_tpu.types import EllMatrix as _Ell
+    from flgp_tpu.ops.pallas_kernels import ell_colsum as _ecs
+    from flgp_tpu.ops.pallas_kernels import ell_norm_gram as _eng
+    from flgp_tpu.ops.spectrum import spectrum_fused as _spec_fused
 
     out = {}
     s_big, K_big = 1024, 128
 
     def graph_spectrum(X, U):
+        # round-5 fused tail: every scatter recast as a one-hot kernel
+        # (ops.spectrum.spectrum_fused; measured 340 → 217 ms end-to-end)
         res = _knn(X, U, 3)
         w = _lae(X, U, res.indices)
-        Z = _Ell(w, res.indices, s_big)
-        Z = _norm(Z, LaplacianType.NORMALIZED, None)
-        return _spec(Z, K_big, True)
+        return _spec_fused(w, res.indices, s_big, K_big, LaplacianType.NORMALIZED, True)
 
     # ---- n=1e6 with subsampling included -------------------------------
     n1, d1 = 1_000_000, 3
@@ -682,17 +891,16 @@ def bench_spectral_1e6(report: MetricsReport):
 
     # per-substage breakdown (separately jitted, so the sum carries a little
     # extra dispatch + HBM round-trip vs the fused stage): subsampler vs
-    # graph assembly (kNN+LAE+normalize+A·V) vs the (s, s) eigh
+    # graph assembly (kNN+LAE+fused normalize/Gram) vs the (s, s) eigh
     sub_fn = jax.jit(lambda X, k: subsample(k, X, s_big, Subsample.MINIBATCH_KMEANS, 1, 50))
 
     def graph_parts(X, U):
         res = _knn(X, U, 3)
         w = _lae(X, U, res.indices)
-        Z = _Ell(w, res.indices, s_big)
-        Z = _norm(Z, LaplacianType.NORMALIZED, None)
-        colsum = Z.colsum()
-        A = Z.scale_cols(1.0 / jnp.sqrt(jnp.abs(colsum) + 1e-9))
-        return A.gram()
+        C = _ecs(w, res.indices, s_big)
+        Ghat, D = _eng(w, res.indices, 1.0 / (C + _EPS), eps=_EPS)
+        dinv = 1.0 / jnp.sqrt(jnp.abs(D) + _EPS)
+        return Ghat * dinv[:, None] * dinv[None, :]
 
     gram_fn = jax.jit(graph_parts)
     eigh_fn = jax.jit(jnp.linalg.eigh)
@@ -811,10 +1019,18 @@ def bench_scale_accuracy(report: MetricsReport):
     )
     Y7 = jnp.asarray(ds7.y_train, jnp.float32)
 
+    # k-means anchors (round 5, VERDICT r4 #2): rounds ≤4 drew RANDOM rows
+    # here because the colmajor pipeline had no integrated subsampler —
+    # measured consequence: err 0.0030 vs 0.0082 across two draws, a 2.8×
+    # accuracy swing.  kmeans_anchors_colmajor (k-means‖ + Lloyd on a 2^17
+    # uniform column sample) restores the reference's anchor semantics
+    # (src/Utils.cpp:37-56) at a scale the reference cannot run.
+    from flgp_tpu.ops.colmajor import kmeans_anchors_colmajor
+
     @jax.jit
     def full_fit7(key):
         k_anc, k_pg = jax.random.split(key)
-        anchors = Xt7[:, jax.random.randint(k_anc, (g.s,), 0, n7)].T
+        anchors = kmeans_anchors_colmajor(k_anc, Xt7, g.s, n_sample=1 << 17)
         eig = heat_kernel_spectrum_colmajor(Xt7, anchors, g.r, K)
         res = _train_gpc(eig, Y7, N1, jnp.arange(m), K, cfg)
         labels, _, _, _ = _gpc_lowrank_tail(
@@ -825,7 +1041,7 @@ def bench_scale_accuracy(report: MetricsReport):
     _mark("scale_accuracy: n=1e7 GPC fit (compile)")
     lab_w, _ = full_fit7(jax.random.PRNGKey(40))
     _fetch(lab_w)
-    err_cold = float(np.mean(np.asarray(lab_w[m:]) != np.asarray(ds7.y_test)))
+    err_seed2 = float(np.mean(np.asarray(lab_w[m:]) != np.asarray(ds7.y_test)))
     jax.tree_util.tree_map(lambda a: a.delete(), lab_w)
     _mark("scale_accuracy: n=1e7 timing")
     with report.stage("gpc_fit_n1e7"):
@@ -836,7 +1052,11 @@ def bench_scale_accuracy(report: MetricsReport):
     out["gpc_fit_n1e7_err"] = float(
         np.mean(np.asarray(lab7[m:]) != np.asarray(ds7.y_test))
     )
-    out["gpc_fit_n1e7_err_cold_anchor_draw"] = err_cold
+    # the warm (compile) dispatch used a DIFFERENT key → an independent
+    # anchor draw: both errors ride in the JSON so the anchor-draw spread
+    # is visible (random anchors: 2.8× swing; k-means: should collapse)
+    out["gpc_fit_n1e7_err_second_anchor_draw"] = err_seed2
+    out["gpc_fit_n1e7_anchors"] = "kmeans|| on 131072-point uniform subsample"
     out["gpc_fit_n1e7_t"] = float(t7)
     return out
 
@@ -992,8 +1212,11 @@ def main():
     # and a single retry recovers them; anything else fails immediately
     _TRANSIENT = ("remote_compile", "read body", "UNAVAILABLE", "ABORTED")
 
+    retried = []
+
     def guarded(name, fn, *args):
         for attempt in (0, 1):
+            n_stages_before = len(report.stages)
             try:
                 out = fn(*args)
                 results.update(out or {})
@@ -1006,6 +1229,10 @@ def main():
                 _mark(f"STAGE FAILED {name} (attempt {attempt}): {errors[name]}")
                 traceback.print_exc(file=sys.stderr)
                 if attempt == 0 and any(t in errors[name] for t in _TRANSIENT):
+                    # drop the failed attempt's stage entries so the retry
+                    # doesn't duplicate stage names in the report (ADVICE r4)
+                    del report.stages[n_stages_before:]
+                    retried.append(name)
                     _mark(f"retrying {name} once (transient tunnel error)")
                     time.sleep(20)
                     continue
@@ -1025,6 +1252,7 @@ def main():
     if torus_res is not None:
         guarded("sampling", bench_sampling, report, torus_res.eigenpair)
         guarded("sampling_saturation", bench_sampling_saturation, report, torus_res.eigenpair)
+        guarded("sampling_chees", bench_sampling_chees, report, torus_res.eigenpair)
         guarded("svi", bench_svi, report, torus_res.eigenpair)
     else:
         errors.setdefault("sampling", "skipped: goldens failed")
@@ -1055,6 +1283,8 @@ def main():
         payload[k] = round(v, 5) if isinstance(v, float) else v
     if errors:
         payload["errors"] = errors
+    if retried:
+        payload["retried_stages"] = retried
     payload["stage_timings"] = json.loads(report.to_json())
     print(json.dumps(payload))
     # partial results are still results; only a total wipeout is a failure
