@@ -351,11 +351,65 @@ def heat_kernel_spectrum_colmajor(
     lanes)."""
     n = Xt.shape[1]
     s = U.shape[0]
+    gl = LaplacianType(gl)
     idx_c, w_c = build_graph_colmajor(Xt, U, r, kernel, epsilon_sq4, lae_iters, chunk)
     # stage barriers: without them XLA rematerializes the expensive build
     # (kNN + 150-iteration FISTA) inside the downstream Gram/extension scans
     # — measured 461 s fused vs 24 s staged for the identical n=1e7 program
     idx_c, w_c = jax.lax.optimization_barrier((idx_c, w_c))
-    w_c = normalize_colmajor(idx_c, w_c, s, gl, cluster_sizes)
-    idx_c, w_c = jax.lax.optimization_barrier((idx_c, w_c))
-    return spectrum_colmajor(idx_c, w_c, s, K, root, n)
+
+    def _fallback(idx_c, w_c, csz):
+        sizes = csz if gl == LaplacianType.CLUSTER_NORMALIZED else None
+        wn = normalize_colmajor(idx_c, w_c, s, gl, sizes)
+        idx2, wn = jax.lax.optimization_barrier((idx_c, wn))
+        return spectrum_colmajor(idx2, wn, s, K, root, n)
+
+    from .pallas_kernels import (
+        _HAVE_PALLAS,
+        ell_colsum_t,
+        ell_norm_gram_t,
+        ell_norm_matmat_t,
+    )
+
+    # Fused one-hot tail on TPU lowerings (round 5): the scatter-based
+    # normalize + colsum + dense-scatter Gram measured 2.1 s of the 3.7 s
+    # n=1e7 stage — the feature-major kernel variants stream the chunked
+    # (nch, r, c) arrays once per pass with VMEM accumulators, identical
+    # reassociated math to the composition (see ops.spectrum.spectrum_fused).
+    if (
+        not _HAVE_PALLAS
+        or w_c.dtype != jnp.float32
+        or jax.config.jax_enable_x64
+        or w_c.shape[2] % 1024  # kernel block must divide the chunk columns
+    ):
+        return _fallback(idx_c, w_c, cluster_sizes)
+
+    def _fused(idx_c, w_c, csz):
+        if gl == LaplacianType.RW:
+            cscale = jnp.ones((s,), w_c.dtype)
+        else:
+            C = ell_colsum_t(w_c, idx_c, s)
+            cscale = 1.0 / (C + EPS)
+            if gl == LaplacianType.CLUSTER_NORMALIZED:
+                cscale = cscale * csz.astype(w_c.dtype)
+        Ghat, D = ell_norm_gram_t(w_c, idx_c, cscale, eps=EPS)
+        dinv = 1.0 / jnp.sqrt(jnp.abs(D) + EPS)
+        G = Ghat * dinv[:, None] * dinv[None, :]
+        wv, V = jnp.linalg.eigh(G)
+        wv = wv[::-1][:K]
+        V = V[:, ::-1][:, :K]
+        sigma2 = jnp.maximum(wv, 0.0)
+        sigma = jnp.sqrt(sigma2)
+        W_eff = dinv[:, None] * V * (
+            jnp.sqrt(jnp.asarray(n, w_c.dtype)) / (sigma + EPS)
+        )[None, :]
+        vectors = ell_norm_matmat_t(w_c, idx_c, cscale, W_eff, eps=EPS)[:n]
+        return EigenPair(sigma if root else sigma2, vectors)
+
+    csz = (
+        jnp.ones((s,), w_c.dtype) if cluster_sizes is None
+        else cluster_sizes.astype(w_c.dtype)
+    )
+    return jax.lax.platform_dependent(
+        idx_c, w_c, csz, tpu=_fused, default=_fallback
+    )

@@ -500,6 +500,204 @@ def ell_norm_matmat(values: jnp.ndarray, indices: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Feature-major (chunked colmajor) variants of the fused tail kernels.
+#
+# The huge-n pipeline (ops.colmajor) carries the graph as (nch, r, c) with
+# the point axis minor — transposing to the (n, r) layout the kernels above
+# read is exactly the lane-padded copy that layout exists to avoid.  These
+# variants read (r, cblk) tiles directly (2-D grid over chunks × column
+# blocks); the math is identical.
+# ---------------------------------------------------------------------------
+
+
+def _ell_colsum_t_kernel(vals_ref, idx_ref, out_ref, *, r: int):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    s = out_ref.shape[1]
+    B = vals_ref.shape[2]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, s), 1)
+    acc = jnp.zeros((1, s), jnp.float32)
+    for k in range(r):
+        onehot = (idx_ref[0, k][:, None] == col_ids).astype(jnp.float32)
+        acc = acc + jnp.dot(
+            vals_ref[0, k][None, :], onehot, preferred_element_type=jnp.float32
+        )
+    out_ref[:] += acc.astype(out_ref.dtype)
+
+
+def ell_colsum_t(values: jnp.ndarray, indices: jnp.ndarray, s: int,
+                 block: int = 1024, interpret: bool = False) -> jnp.ndarray:
+    """Column sums of a chunked (nch, r, c) feature-major ELL graph.
+    Pad points must carry zero weights (the colmajor builder's contract)."""
+    nch, r, c = values.shape
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+        return jnp.zeros((s,), values.dtype).at[indices.reshape(-1)].add(
+            values.reshape(-1)
+        )
+    block = min(block, c)
+    assert c % block == 0, "colmajor chunk must divide the kernel block"
+    out = pl.pallas_call(
+        functools.partial(_ell_colsum_t_kernel, r=r),
+        grid=(nch, c // block),
+        in_specs=[
+            pl.BlockSpec((1, r, block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, s), values.dtype),
+        interpret=interpret,
+    )(values, indices)
+    return out[0]
+
+
+def _ell_norm_gram_t_kernel(vals_ref, idx_ref, cscale_ref, gram_ref, d_ref,
+                            *, r: int, eps: float):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+        d_ref[:] = jnp.zeros_like(d_ref)
+
+    s = gram_ref.shape[0]
+    B = vals_ref.shape[2]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, s), 1)
+    onehots = [
+        (idx_ref[0, k][:, None] == col_ids).astype(jnp.float32) for k in range(r)
+    ]
+    cs = cscale_ref[:]
+    w1 = []
+    rs = None
+    for k in range(r):
+        cg = jnp.dot(onehots[k], cs[0][:, None], preferred_element_type=jnp.float32)
+        w1k = vals_ref[0, k][:, None] * cg
+        w1.append(w1k)
+        rs = w1k if rs is None else rs + w1k
+    rinv = 1.0 / (rs + eps)
+    dense = None
+    for k in range(r):
+        contrib = onehots[k] * (w1[k] * rinv)
+        dense = contrib if dense is None else dense + contrib
+    d_ref[:] += jnp.sum(dense, axis=0, keepdims=True).astype(d_ref.dtype)
+    gram_ref[:] += jnp.dot(
+        dense.T, dense, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(gram_ref.dtype)
+
+
+def ell_norm_gram_t(values: jnp.ndarray, indices: jnp.ndarray,
+                    cscale: jnp.ndarray, block: int = 512,
+                    interpret: bool = False, eps: float = 1e-9):
+    """Fused normalize+Gram on the chunked feature-major layout: returns
+    (Ĝ = ZₙᵀZₙ, D = colsum(Zₙ)) for Zₙ = rownorm(Z·diag(cscale)).
+
+    CONTRACT: pad points must carry zero weights — a zero row normalizes to
+    zero (0·cscale·(1/eps) = 0), so pads contribute nothing, matching the
+    colmajor builder's masking."""
+    nch, r, c = values.shape
+    s = cscale.shape[0]
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+        w1 = values * cscale[indices]
+        rs = jnp.sum(w1, axis=1, keepdims=True)
+        wn = w1 / (rs + eps)
+        flat_i = indices.reshape(-1)
+        flat_w = wn.reshape(-1)
+        D = jnp.zeros((s,), values.dtype).at[flat_i].add(flat_w)
+        # dense gram via pair scatter (small-scale fallback only)
+        vv = (wn[:, :, None, :] * wn[:, None, :, :]).reshape(-1)
+        fi = (
+            indices[:, :, None, :] * s + indices[:, None, :, :]
+        ).reshape(-1)
+        G = jnp.zeros((s * s,), values.dtype).at[fi].add(vv).reshape(s, s)
+        return G, D
+    block = min(block, c)
+    assert c % block == 0, "colmajor chunk must divide the kernel block"
+    G, D = pl.pallas_call(
+        functools.partial(_ell_norm_gram_t_kernel, r=r, eps=eps),
+        grid=(nch, c // block),
+        in_specs=[
+            pl.BlockSpec((1, r, block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, s), values.dtype),
+            jax.ShapeDtypeStruct((1, s), values.dtype),
+        ],
+        interpret=interpret,
+    )(values, indices, cscale[None, :])
+    return G, D[0]
+
+
+def _ell_norm_matmat_t_kernel(vals_ref, idx_ref, cscale_ref, w_ref, out_ref,
+                              *, r: int, eps: float):
+    s = w_ref.shape[0]
+    B = vals_ref.shape[2]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, s), 1)
+    cs = cscale_ref[:]
+    w = w_ref[:]
+    onehots = [
+        (idx_ref[0, k][:, None] == col_ids).astype(jnp.float32) for k in range(r)
+    ]
+    w1 = []
+    rs = None
+    for k in range(r):
+        cg = jnp.dot(onehots[k], cs[0][:, None], preferred_element_type=jnp.float32)
+        w1k = vals_ref[0, k][:, None] * cg
+        w1.append(w1k)
+        rs = w1k if rs is None else rs + w1k
+    rinv = 1.0 / (rs + eps)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(r):
+        gath = jnp.dot(onehots[k], w, preferred_element_type=jnp.float32)
+        acc = acc + (w1[k] * rinv) * gath
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def ell_norm_matmat_t(values: jnp.ndarray, indices: jnp.ndarray,
+                      cscale: jnp.ndarray, W: jnp.ndarray, block: int = 1024,
+                      interpret: bool = False, eps: float = 1e-9) -> jnp.ndarray:
+    """rownorm(Z·diag(cscale)) @ W from the chunked feature-major layout —
+    output (nch·c, K) point-major (K ≥ 128 in the huge-n configs, so the
+    output pads nothing).  Same zero-pad-row contract as ell_norm_gram_t."""
+    nch, r, c = values.shape
+    s, K = W.shape
+    if not (_HAVE_PALLAS and (_on_tpu() or interpret)):
+        w1 = values * cscale[indices]
+        rs = jnp.sum(w1, axis=1, keepdims=True)
+        wn = w1 / (rs + eps)
+        out = jnp.einsum("nrc,nrck->nck", wn, W[indices])
+        return out.reshape(nch * c, K)
+    block = min(block, c)
+    assert c % block == 0, "colmajor chunk must divide the kernel block"
+    nblk = c // block
+    out = pl.pallas_call(
+        functools.partial(_ell_norm_matmat_t_kernel, r=r, eps=eps),
+        grid=(nch, nblk),
+        in_specs=[
+            pl.BlockSpec((1, r, block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, K), lambda i, j: (i * nblk + j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nch * c, K), W.dtype),
+        interpret=interpret,
+    )(values, indices, cscale[None, :], W)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # ELL matmat: Z @ W with streamed row blocks
 # ---------------------------------------------------------------------------
 

@@ -174,3 +174,79 @@ class TestFusedNormalizeSpectrumTail:
         Vr, Vg = np.asarray(ref.vectors), np.asarray(vecs)
         signs = np.sign(np.sum(Vr * Vg, axis=0))
         np.testing.assert_allclose(Vg * signs, Vr, atol=5e-3)
+
+
+@pytest.mark.skipif(not pk._HAVE_PALLAS, reason="pallas unavailable")
+class TestFeatureMajorTailKernels:
+    """Chunked (nch, r, c) variants of the fused tail kernels — the n=1e7
+    colmajor pipeline's normalize/Gram/extension (round 5)."""
+
+    def _graph_t(self, rng, nch=3, r=3, c=128, s=40):
+        w = jnp.asarray(rng.uniform(0.1, 1.0, size=(nch, r, c)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, s, size=(nch, r, c)), jnp.int32)
+        # zero-weight pad tail (the colmajor builder's contract)
+        w = w.at[-1, :, c // 2 :].set(0.0)
+        return w, idx, s
+
+    def test_colsum_t(self, rng):
+        w, idx, s = self._graph_t(rng)
+        got = pk.ell_colsum_t(w, idx, s, block=64, interpret=True)
+        ref = jnp.zeros((s,), w.dtype).at[idx.reshape(-1)].add(w.reshape(-1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
+
+    def test_norm_gram_t_matches_composition(self, rng):
+        from flgp_tpu.ops.colmajor import normalize_colmajor, spectrum_colmajor
+
+        w, idx, s = self._graph_t(rng)
+        cs = jnp.asarray(rng.uniform(0.5, 2.0, size=(s,)), jnp.float32)
+        G, D = pk.ell_norm_gram_t(w, idx, cs, block=64, interpret=True)
+        # oracle: normalize by hand on the chunked layout
+        w1 = w * cs[idx]
+        rs = jnp.sum(w1, axis=1, keepdims=True)
+        wn = w1 / (rs + 1e-9)
+        ref_D = jnp.zeros((s,), w.dtype).at[idx.reshape(-1)].add(wn.reshape(-1))
+        vv = (wn[:, :, None, :] * wn[:, None, :, :]).reshape(-1)
+        fi = (idx[:, :, None, :] * s + idx[:, None, :, :]).reshape(-1)
+        ref_G = jnp.zeros((s * s,), w.dtype).at[fi].add(vv).reshape(s, s)
+        np.testing.assert_allclose(np.asarray(D), np.asarray(ref_D), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(G), np.asarray(ref_G), atol=3e-5)
+
+    def test_norm_matmat_t_matches_composition(self, rng):
+        w, idx, s = self._graph_t(rng)
+        cs = jnp.asarray(rng.uniform(0.5, 2.0, size=(s,)), jnp.float32)
+        W = jnp.asarray(rng.normal(size=(s, 8)), jnp.float32)
+        got = pk.ell_norm_matmat_t(w, idx, cs, W, block=64, interpret=True)
+        w1 = w * cs[idx]
+        rs = jnp.sum(w1, axis=1, keepdims=True)
+        wn = w1 / (rs + 1e-9)
+        ref = jnp.einsum("nrc,nrck->nck", wn, W[idx]).reshape(-1, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+    def test_fused_colmajor_tail_interpret_matches_spectrum(self, rng):
+        """End-to-end reassociated tail (interpret kernels) vs the exact
+        chunked composition (normalize_colmajor + spectrum_colmajor)."""
+        from flgp_tpu.config import EPS, LaplacianType
+        from flgp_tpu.ops.colmajor import normalize_colmajor, spectrum_colmajor
+
+        n = 3 * 128
+        w, idx, s = self._graph_t(rng)
+        w = w.at[-1, :, 64:].set(0.2)  # no pads: n == nch*c here
+        K = 8
+        C = pk.ell_colsum_t(w, idx, s, block=64, interpret=True)
+        cscale = 1.0 / (C + EPS)
+        Ghat, D = pk.ell_norm_gram_t(w, idx, cscale, block=64, interpret=True, eps=EPS)
+        dinv = 1.0 / jnp.sqrt(jnp.abs(D) + EPS)
+        G = Ghat * dinv[:, None] * dinv[None, :]
+        wv, V = jnp.linalg.eigh(G)
+        wv = wv[::-1][:K]
+        V = V[:, ::-1][:, :K]
+        sigma = jnp.sqrt(jnp.maximum(wv, 0.0))
+        W_eff = dinv[:, None] * V * (jnp.sqrt(jnp.float32(n)) / (sigma + EPS))[None, :]
+        vecs = pk.ell_norm_matmat_t(w, idx, cscale, W_eff, block=64, interpret=True, eps=EPS)[:n]
+
+        wn = normalize_colmajor(idx, w, s, LaplacianType.NORMALIZED, None)
+        ref = spectrum_colmajor(idx, wn, s, K, True, n)
+        np.testing.assert_allclose(np.asarray(sigma), np.asarray(ref.values), atol=1e-5)
+        Vr, Vg = np.asarray(ref.vectors), np.asarray(vecs)
+        signs = np.sign(np.sum(Vr * Vg, axis=0))
+        np.testing.assert_allclose(Vg * signs, Vr, atol=5e-3)
