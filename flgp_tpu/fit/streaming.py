@@ -31,7 +31,7 @@ from ..ops.kmeans import SubsampleResult, kmeans
 from ..ops.knn import knn
 from ..ops.lae import lae_weights
 from ..ops.laplacian import normalize_graph_laplacian
-from ..ops.spectrum import spectrum_from_Z
+from ..ops.spectrum import spectrum_from_Z, spectrum_fused
 from ..types import EigenPair, EllMatrix
 
 
@@ -131,8 +131,12 @@ def streamed_build_spectrum(
     same anchors."""
     sub = anchors if anchors is not None else streamed_subsample(key, mat, g, chunk_rows=chunk_rows)
     Z = streamed_ell_graph(mat, sub.centers, g, chunk_rows)
-    Z = normalize_graph_laplacian(Z, g.gl, sub.counts)
-    return spectrum_from_Z(Z, g.resolved_K(), g.root), sub
+    # the fused tail keeps TPU-f32 equality with the in-memory
+    # fit.spectral.build_spectrum path (same dispatch, same kernels); the
+    # fallback branch is the bit-identical op composition
+    return spectrum_fused(
+        Z.values, Z.indices, g.s, g.resolved_K(), g.gl, g.root, sub.counts
+    ), sub
 
 
 class StreamedGpcResult(NamedTuple):
