@@ -317,6 +317,13 @@ def fused_lae(
 #
 # so one pass yields BOTH Ĝ = ZₙᵀZₙ and D, and the spectrum's A-scaling
 # becomes a free (s, s) elementwise epilogue.
+#
+# NOT VMAP-SAFE: the accumulating kernels initialize their VMEM output on
+# `pl.program_id(0) == 0`; pallas_call's batching rule PREPENDS a grid
+# dimension, which would silently re-target that guard at the batch index.
+# Every caller (ops.spectrum.spectrum_fused, ops.colmajor, fit.spectral,
+# fit.streaming) is unbatched — keep it that way, or add an explicit
+# batch-grid variant before vmapping.
 # ---------------------------------------------------------------------------
 
 
